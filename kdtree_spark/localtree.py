@@ -1,0 +1,479 @@
+"""Per-cell serialized kd-tree — the *local* level of the two-level index.
+
+This is the Spark-side analogue of the reference's in-memory kd-tree
+(ucrparlay/KDtree `include/cpdd/batch_op/build_tree.hpp:151-218`,
+`query_op/nn_search.hpp:83-126`, `query_op/range_count.hpp:9-96`), built
+inside `applyInPandas` over one grid cell's points and serialized to a
+binary blob stored in the index table.
+
+Design parity with the reference (semantics, not code):
+- object-median splits (`std::nth_element` -> `np.argpartition`),
+  build_tree.hpp:157-166
+- split dimension = widest dimension of the node's bounding box
+  (MAX_STRETCH_DIM default, `include/cpdd/kdTreeParallel.h:78`,
+  `utility/dimensinality.hpp:22-33`)
+- leaf wrap 32 (`LEAVE_WRAP`, kdTreeParallel.h:41)
+- all-identical points collapse into one leaf regardless of size
+  (dummy-leaf analogue, build_tree.hpp:183-186) — here leaves store
+  (start, end) slices so duplicates cost nothing extra
+- kNN prunes the far subtree when the splitting-plane distance exceeds
+  the current kth-best (nn_search.hpp:121-125); range count returns
+  `size` for fully-contained subtrees without descending
+  (range_count.hpp:78-80)
+
+Differences (deliberate, Spark-first): points are stored in-order so any
+subtree is a contiguous slice (report = slice copy, no two-pass
+count-then-fill needed — range_query.hpp:8-68 is unnecessary without a
+shared output array); traversal is *batch-vectorized* — a whole query
+batch descends together, partitioned into per-subtree active sets, with
+numpy leaf scans (the reference goes one query per thread).
+
+Coordinates are int64 (the reference's default `long`, README.md:125) so
+all comparisons are exact — no epsilon comparator needed
+(`include/cpdd/comparator.h`).
+
+Log-structured updates: a cell blob also carries `extra` (inserted, not
+yet merged into the tree) and `tomb` (deleted ids + coords). Queries
+consult all three; a rebuild folds them in when the imbalance threshold
+(INBALANCE_RATIO=30, `utility/tree_node.hpp:118-131`) is crossed.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+LEAF_WRAP = 32
+INBALANCE_RATIO = 30  # percent, reference tree_node.hpp:127-131
+
+
+class LocalKDTree:
+    """Array-backed kd-tree over int64 points with stable ids.
+
+    Node arrays (index = node id, root = 0):
+      split_dim  int16   (-1 for leaf)
+      split_val  int64
+      left/right int32   (-1 for leaf)
+      start/end  int32   slice into the reordered point array
+      nbox       int64 (nnodes, 2d)  per-node bbox (min..., max...)
+    Point arrays:
+      pts  int64 (n, d)  reordered so each subtree is contiguous
+      ids  int64 (n,)
+    """
+
+    def __init__(self, pts, ids, split_dim, split_val, left, right, start, end,
+                 nbox, extra_pts=None, extra_ids=None, tomb_pts=None,
+                 tomb_ids=None):
+        self.pts = pts
+        self.ids = ids
+        self.split_dim = split_dim
+        self.split_val = split_val
+        self.left = left
+        self.right = right
+        self.start = start
+        self.end = end
+        self.nbox = nbox
+        d = pts.shape[1]
+        self.extra_pts = extra_pts if extra_pts is not None else np.empty((0, d), np.int64)
+        self.extra_ids = extra_ids if extra_ids is not None else np.empty(0, np.int64)
+        self.tomb_pts = tomb_pts if tomb_pts is not None else np.empty((0, d), np.int64)
+        self.tomb_ids = tomb_ids if tomb_ids is not None else np.empty(0, np.int64)
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def build(cls, pts: np.ndarray, ids: np.ndarray, leaf_wrap: int = LEAF_WRAP
+              ) -> "LocalKDTree":
+        pts = np.ascontiguousarray(pts, dtype=np.int64)
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        n, d = pts.shape
+        perm = np.arange(n, dtype=np.int64)
+        split_dim, split_val = [], []
+        left, right, start, end, nbox = [], [], [], [], []
+
+        def new_node():
+            i = len(split_dim)
+            split_dim.append(-1)
+            split_val.append(0)
+            left.append(-1)
+            right.append(-1)
+            start.append(0)
+            end.append(0)
+            nbox.append(None)
+            return i
+
+        if n == 0:
+            root = new_node()
+            nbox[root] = np.zeros(2 * d, np.int64)
+        else:
+            # iterative: stack of (node_id, lo, hi)
+            root = new_node()
+            stack = [(root, 0, n)]
+            while stack:
+                node, lo, hi = stack.pop()
+                sub = pts[perm[lo:hi]]
+                mn = sub.min(axis=0)
+                mx = sub.max(axis=0)
+                nbox[node] = np.concatenate([mn, mx])
+                widths = mx - mn
+                if hi - lo <= leaf_wrap or widths.max() == 0:
+                    # leaf; widths==0 -> all points identical (dummy-leaf
+                    # analogue, build_tree.hpp:183-186)
+                    start[node], end[node] = lo, hi
+                    continue
+                dim = int(np.argmax(widths))  # max-stretch split dim
+                m = (hi - lo) // 2            # object median
+                order = np.argpartition(sub[:, dim], m)
+                perm[lo:hi] = perm[lo:hi][order]
+                sv = int(pts[perm[lo + m], dim])
+                split_dim[node] = dim
+                split_val[node] = sv
+                start[node], end[node] = lo, hi
+                l_ = new_node()
+                r_ = new_node()
+                left[node], right[node] = l_, r_
+                stack.append((l_, lo, lo + m))
+                stack.append((r_, lo + m, hi))
+
+        return cls(
+            pts=pts[perm] if n else pts,
+            ids=ids[perm] if n else ids,
+            split_dim=np.asarray(split_dim, np.int16),
+            split_val=np.asarray(split_val, np.int64),
+            left=np.asarray(left, np.int32),
+            right=np.asarray(right, np.int32),
+            start=np.asarray(start, np.int32),
+            end=np.asarray(end, np.int32),
+            nbox=np.stack(nbox).astype(np.int64),
+        )
+
+    # -------------------------------------------------------------- serialize
+
+    _FIELDS = ("pts", "ids", "split_dim", "split_val", "left", "right",
+               "start", "end", "nbox", "extra_pts", "extra_ids",
+               "tomb_pts", "tomb_ids")
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez(buf, **{f: getattr(self, f) for f in self._FIELDS})
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "LocalKDTree":
+        with np.load(io.BytesIO(blob)) as z:
+            return cls(**{f: z[f] for f in cls._FIELDS})
+
+    # ---------------------------------------------------------------- helpers
+
+    @property
+    def n_base(self) -> int:
+        return len(self.ids)
+
+    @property
+    def n_live(self) -> int:
+        return len(self.ids) + len(self.extra_ids) - len(self.tomb_ids)
+
+    @property
+    def depth(self) -> int:
+        # max leaf depth, iterative
+        if len(self.split_dim) == 0:
+            return 0
+        depths = np.zeros(len(self.split_dim), np.int32)
+        best = 0
+        for i in range(len(self.split_dim)):
+            if self.left[i] >= 0:
+                depths[self.left[i]] = depths[i] + 1
+                depths[self.right[i]] = depths[i] + 1
+            else:
+                best = max(best, int(depths[i]))
+        return best
+
+    def live_points(self):
+        """Materialize (pts, ids) net of tombstones + extras (for rebuild)."""
+        pts = np.concatenate([self.pts, self.extra_pts])
+        ids = np.concatenate([self.ids, self.extra_ids])
+        if len(self.tomb_ids):
+            # multiset delete by id: remove ONE occurrence per tombstone id
+            # (ids are unique in our data model, so a mask suffices)
+            mask = ~np.isin(ids, self.tomb_ids)
+            pts, ids = pts[mask], ids[mask]
+        return pts, ids
+
+    def needs_rebuild(self) -> bool:
+        n = max(self.n_base, 1)
+        churn = len(self.extra_ids) + len(self.tomb_ids)
+        return churn * 100 > INBALANCE_RATIO * n
+
+    def with_updates(self, ins_pts=None, ins_ids=None, del_pts=None,
+                     del_ids=None) -> "LocalKDTree":
+        """Log-structured apply; rebuilds when imbalance threshold crossed."""
+        t = LocalKDTree(self.pts, self.ids, self.split_dim, self.split_val,
+                        self.left, self.right, self.start, self.end, self.nbox,
+                        self.extra_pts, self.extra_ids, self.tomb_pts,
+                        self.tomb_ids)
+        if ins_ids is not None and len(ins_ids):
+            t.extra_pts = np.concatenate([t.extra_pts, np.asarray(ins_pts, np.int64)])
+            t.extra_ids = np.concatenate([t.extra_ids, np.asarray(ins_ids, np.int64)])
+        if del_ids is not None and len(del_ids):
+            del_ids = np.asarray(del_ids, np.int64)
+            del_pts = np.asarray(del_pts, np.int64)
+            # partial-cover semantics (batch_delete.hpp:95-107): ignore ids
+            # not present; also net out inserts sitting in the extra log
+            in_extra = np.isin(del_ids, t.extra_ids)
+            if in_extra.any():
+                kill = np.isin(t.extra_ids, del_ids[in_extra])
+                t.extra_pts, t.extra_ids = t.extra_pts[~kill], t.extra_ids[~kill]
+            rest = del_ids[~in_extra]
+            rest_pts = del_pts[~in_extra]
+            present = np.isin(rest, t.ids)
+            t.tomb_pts = np.concatenate([t.tomb_pts, rest_pts[present]])
+            t.tomb_ids = np.concatenate([t.tomb_ids, rest[present]])
+        if t.needs_rebuild():
+            pts, ids = t.live_points()
+            return LocalKDTree.build(pts, ids)
+        return t
+
+    # -------------------------------------------------------------------- kNN
+
+    def knn(self, q: np.ndarray, k: int, ub: np.ndarray | None = None):
+        """Exact k nearest neighbours for a batch of queries.
+
+        q: (m, d) int64. ub: optional (m,) float64 upper bound on the kth
+        distance² (from a prior round) — used only for pruning.
+        Returns (dist2 (m,k) float64 sorted, ids (m,k) int64); missing
+        slots are (inf, -1). Tie-break: (dist², id) ascending.
+        """
+        q = np.asarray(q, dtype=np.int64)
+        m, d = q.shape
+        kk = k + len(self.tomb_ids)  # over-fetch to survive tombstone filter
+        INF = np.inf
+        best_d = np.full((m, kk), INF, dtype=np.float64)
+        best_i = np.full((m, kk), -1, dtype=np.int64)
+        bound = np.full(m, INF) if ub is None else np.asarray(ub, np.float64).copy()
+
+        qf = q.astype(np.float64)
+
+        def scan(pidx_pts, pidx_ids, qsub):
+            # brute merge of a candidate block into best_d/best_i[qsub]
+            if len(pidx_ids) == 0 or len(qsub) == 0:
+                return
+            diff = qf[qsub, None, :] - pidx_pts[None, :, :].astype(np.float64)
+            d2 = np.einsum("ijk,ijk->ij", diff, diff)
+            cat_d = np.concatenate([best_d[qsub], d2], axis=1)
+            cat_i = np.concatenate(
+                [best_i[qsub], np.broadcast_to(pidx_ids, d2.shape)], axis=1)
+            # keep kk smallest by (dist, id)
+            ordr = np.lexsort((cat_i, cat_d), axis=1)[:, :kk]
+            rows = np.arange(len(qsub))[:, None]
+            best_d[qsub] = cat_d[rows, ordr]
+            best_i[qsub] = cat_i[rows, ordr]
+            kth = best_d[qsub, kk - 1]
+            bound[qsub] = np.minimum(bound[qsub], kth)
+
+        if self.n_base:
+            stack = [(0, np.arange(m, dtype=np.int64))]
+            while stack:
+                node, act = stack.pop()
+                if len(act) == 0:
+                    continue
+                if self.split_dim[node] < 0:  # leaf
+                    lo, hi = self.start[node], self.end[node]
+                    scan(self.pts[lo:hi], self.ids[lo:hi], act)
+                    continue
+                dim = self.split_dim[node]
+                sv = float(self.split_val[node])
+                qd = qf[act, dim]
+                go_left = qd < sv
+                plane = (qd - sv) ** 2
+                # visit near side first, then far side if not pruned.
+                # LIFO stack: push far first so near pops first.
+                near_l = act[go_left]
+                near_r = act[~go_left]
+                # far sets (pruned by plane distance vs running bound)
+                far_r = near_l[plane[go_left] <= bound[near_l]]
+                far_l = near_r[plane[~go_left] <= bound[near_r]]
+                if len(far_l):
+                    stack.append((self.left[node], far_l))
+                if len(far_r):
+                    stack.append((self.right[node], far_r))
+                if len(near_r):
+                    stack.append((self.right[node], near_r))
+                if len(near_l):
+                    stack.append((self.left[node], near_l))
+
+        # extras: brute scan
+        scan(self.extra_pts, self.extra_ids, np.arange(m, dtype=np.int64))
+
+        # tombstone filter, then trim to k
+        if len(self.tomb_ids):
+            dead = np.isin(best_i, self.tomb_ids) & (best_i >= 0)
+            best_d[dead] = INF
+            best_i[dead] = -1
+        ordr = np.lexsort((best_i, best_d), axis=1)[:, :k]
+        rows = np.arange(m)[:, None]
+        out_d = best_d[rows, ordr]
+        out_i = best_i[rows, ordr]
+        out_i[~np.isfinite(out_d)] = -1
+        return out_d, out_i
+
+    # ------------------------------------------------------------------ range
+
+    def _tomb_mask_in_box(self, lo, hi):
+        if not len(self.tomb_ids):
+            return 0
+        ok = np.all((self.tomb_pts >= lo) & (self.tomb_pts <= hi), axis=1)
+        return int(ok.sum())
+
+    def range_count(self, boxes: np.ndarray) -> np.ndarray:
+        """boxes: (m, 2d) int64 [min..., max...] inclusive. Returns (m,) counts."""
+        boxes = np.asarray(boxes, dtype=np.int64)
+        m = boxes.shape[0]
+        d = self.pts.shape[1]
+        blo, bhi = boxes[:, :d], boxes[:, d:]
+        out = np.zeros(m, dtype=np.int64)
+        if self.n_base:
+            stack = [(0, np.arange(m, dtype=np.int64))]
+            while stack:
+                node, act = stack.pop()
+                nb = self.nbox[node]
+                nlo, nhi = nb[:d], nb[d:]
+                inter = np.all((blo[act] <= nhi) & (bhi[act] >= nlo), axis=1)
+                act = act[inter]
+                if len(act) == 0:
+                    continue
+                contained = np.all((blo[act] <= nlo) & (bhi[act] >= nhi), axis=1)
+                # contained -> add subtree size without descending
+                # (range_count.hpp:78-80)
+                out[act[contained]] += self.end[node] - self.start[node]
+                act = act[~contained]
+                if len(act) == 0:
+                    continue
+                if self.split_dim[node] < 0:
+                    lo, hi = self.start[node], self.end[node]
+                    sub = self.pts[lo:hi]
+                    inb = np.all(
+                        (sub[None, :, :] >= blo[act][:, None, :])
+                        & (sub[None, :, :] <= bhi[act][:, None, :]), axis=2)
+                    out[act] += inb.sum(axis=1)
+                else:
+                    stack.append((self.left[node], act))
+                    stack.append((self.right[node], act))
+        # extras add, tombstones subtract
+        for arr, sign in ((self.extra_pts, 1), (self.tomb_pts, -1)):
+            if len(arr):
+                inb = np.all((arr[None, :, :] >= blo[:, None, :])
+                             & (arr[None, :, :] <= bhi[:, None, :]), axis=2)
+                out += sign * inb.sum(axis=1)
+        return out
+
+    def range_report(self, boxes: np.ndarray):
+        """Returns (box_idx (t,), pts (t,d), ids (t,)) for all points in boxes."""
+        boxes = np.asarray(boxes, dtype=np.int64)
+        m = boxes.shape[0]
+        d = self.pts.shape[1]
+        blo, bhi = boxes[:, :d], boxes[:, d:]
+        out_b, out_p, out_i = [], [], []
+
+        def emit(bidx, pts, ids):
+            if len(ids):
+                out_b.append(np.full(len(ids), bidx, np.int64))
+                out_p.append(pts)
+                out_i.append(ids)
+
+        if self.n_base:
+            stack = [(0, np.arange(m, dtype=np.int64))]
+            while stack:
+                node, act = stack.pop()
+                nb = self.nbox[node]
+                nlo, nhi = nb[:d], nb[d:]
+                inter = np.all((blo[act] <= nhi) & (bhi[act] >= nlo), axis=1)
+                act = act[inter]
+                if len(act) == 0:
+                    continue
+                contained = np.all((blo[act] <= nlo) & (bhi[act] >= nhi), axis=1)
+                lo, hi = self.start[node], self.end[node]
+                for b in act[contained]:
+                    emit(int(b), self.pts[lo:hi], self.ids[lo:hi])
+                act = act[~contained]
+                if len(act) == 0:
+                    continue
+                if self.split_dim[node] < 0:
+                    sub = self.pts[lo:hi]
+                    sid = self.ids[lo:hi]
+                    for b in act:
+                        ok = np.all((sub >= blo[b]) & (sub <= bhi[b]), axis=1)
+                        emit(int(b), sub[ok], sid[ok])
+                else:
+                    stack.append((self.left[node], act))
+                    stack.append((self.right[node], act))
+        for b in range(m):
+            if len(self.extra_ids):
+                ok = np.all((self.extra_pts >= blo[b]) & (self.extra_pts <= bhi[b]), axis=1)
+                emit(b, self.extra_pts[ok], self.extra_ids[ok])
+        if out_b:
+            bi = np.concatenate(out_b)
+            pp = np.concatenate(out_p)
+            ii = np.concatenate(out_i)
+        else:
+            bi = np.empty(0, np.int64)
+            pp = np.empty((0, d), np.int64)
+            ii = np.empty(0, np.int64)
+        if len(self.tomb_ids):
+            keep = ~np.isin(ii, self.tomb_ids)
+            bi, pp, ii = bi[keep], pp[keep], ii[keep]
+        return bi, pp, ii
+
+    def circle_count(self, centers: np.ndarray, radii: np.ndarray) -> np.ndarray:
+        """Count points within squared-L2 radius² (inclusive) of each center.
+
+        centers (m,d) int64, radii (m,) — radius in coordinate units.
+        Mirrors range_count(circle) (range_count.hpp:99-131).
+        """
+        centers = np.asarray(centers, np.int64)
+        radii = np.asarray(radii, np.float64)
+        r2 = radii ** 2
+        m, d = centers.shape
+        out = np.zeros(m, dtype=np.int64)
+        cf = centers.astype(np.float64)
+
+        def box_min_d2(act, nlo, nhi):
+            c = np.clip(cf[act], nlo, nhi)
+            diff = cf[act] - c
+            return np.einsum("ij,ij->i", diff, diff)
+
+        def box_max_d2(act, nlo, nhi):
+            far = np.where(np.abs(cf[act] - nlo) > np.abs(cf[act] - nhi), nlo, nhi)
+            diff = cf[act] - far
+            return np.einsum("ij,ij->i", diff, diff)
+
+        if self.n_base:
+            stack = [(0, np.arange(m, dtype=np.int64))]
+            while stack:
+                node, act = stack.pop()
+                nb = self.nbox[node].astype(np.float64)
+                nlo, nhi = nb[:d], nb[d:]
+                keep = box_min_d2(act, nlo, nhi) <= r2[act]
+                act = act[keep]
+                if len(act) == 0:
+                    continue
+                contained = box_max_d2(act, nlo, nhi) <= r2[act]
+                out[act[contained]] += self.end[node] - self.start[node]
+                act = act[~contained]
+                if len(act) == 0:
+                    continue
+                if self.split_dim[node] < 0:
+                    lo, hi = self.start[node], self.end[node]
+                    sub = self.pts[lo:hi].astype(np.float64)
+                    diff = cf[act][:, None, :] - sub[None, :, :]
+                    d2 = np.einsum("ijk,ijk->ij", diff, diff)
+                    out[act] += (d2 <= r2[act][:, None]).sum(axis=1)
+                else:
+                    stack.append((self.left[node], act))
+                    stack.append((self.right[node], act))
+        for arr, sign in ((self.extra_pts, 1), (self.tomb_pts, -1)):
+            if len(arr):
+                diff = cf[:, None, :] - arr[None, :, :].astype(np.float64)
+                d2 = np.einsum("ijk,ijk->ij", diff, diff)
+                out += sign * (d2 <= r2[:, None]).sum(axis=1)
+        return out
