@@ -1,0 +1,122 @@
+"""Deterministic query-geometry fixtures (FIXTURES.md §3).
+
+The reference generates query rectangles by recursively splitting the
+data with `srand(10)` until each box holds a target count bracketed by
+n^(1/4) / n^(1/2) (`tests/testFramework.h:55-150`: small/medium/large).
+libc rand() isn't reproducible across platforms, so — as planned in
+SURVEY §5 — we define our own seeded-numpy variant with the same
+small/medium/large size brackets over the coordinate domain, and bless
+these as the goldens.
+
+Every fixture is a list of plain ints, so the exact same constants are
+embedded in the Spark plan and in the DuckDB oracle SQL (VALUES lists).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .grid import COORD_LIMIT
+
+# width brackets per class: small / medium / large — relative spans chosen
+# so boxes hold roughly n^(1/4), n^(1/2), n^(3/4) points under uniform data
+_BRACKETS = [(2_000, 12_000), (20_000, 90_000), (150_000, 450_000)]
+
+
+def gen_boxes(n: int = 30, seed: int = 10) -> list[tuple[int, int, int, int, int]]:
+    """n boxes cycling small/medium/large: (box_id, xlo, ylo, xhi, yhi)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        wlo, whi = _BRACKETS[i % 3]
+        w = int(rng.integers(wlo, whi))
+        h = int(rng.integers(wlo, whi))
+        x0 = int(rng.integers(0, COORD_LIMIT - w))
+        y0 = int(rng.integers(0, COORD_LIMIT - h))
+        out.append((i, x0, y0, x0 + w, y0 + h))
+    return out
+
+
+def gen_circles(n: int = 30, seed: int = 20) -> list[tuple[int, int, int, int]]:
+    """(circle_id, cx, cy, r) with radii cycling the same brackets."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        rlo, rhi = _BRACKETS[i % 3]
+        r = int(rng.integers(rlo // 2, rhi // 2))
+        cx = int(rng.integers(0, COORD_LIMIT))
+        cy = int(rng.integers(0, COORD_LIMIT))
+        out.append((i, cx, cy, r))
+    return out
+
+
+def gen_polygons(n: int = 8, seed: int = 30,
+                 nvert=(5, 12)) -> list[tuple[int, list[tuple[int, int]]]]:
+    """Convex-ish CCW polygons: (poly_id, [(x,y), ...]).
+
+    Inclusion is DEFINED as the conjunction of left-of-edge tests over
+    the CCW vertex ring — both the engine and the oracle evaluate the
+    same integer half-plane predicates, so results agree exactly.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        k = int(rng.integers(nvert[0], nvert[1] + 1))
+        cx = int(rng.integers(200_000, 800_000))
+        cy = int(rng.integers(200_000, 800_000))
+        rad = int(rng.integers(40_000, 180_000))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=k))
+        vx = (cx + rad * np.cos(ang)).astype(np.int64)
+        vy = (cy + rad * np.sin(ang)).astype(np.int64)
+        out.append((i, list(zip(vx.tolist(), vy.tolist()))))
+    return out
+
+
+def gen_tiles(n: int = 12, seed: int = 40) -> list[tuple[int, int, int, int, int]]:
+    """Raster tiles (tile_id, x0, y0, x1, y1) for tile<->cell assignment."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        w = int(rng.integers(30_000, 300_000))
+        h = int(rng.integers(30_000, 300_000))
+        x0 = int(rng.integers(0, COORD_LIMIT - w))
+        y0 = int(rng.integers(0, COORD_LIMIT - h))
+        out.append((i, x0, y0, x0 + w, y0 + h))
+    return out
+
+
+# ---------------------------------------------------------------- SQL render
+
+def boxes_values_sql(boxes, alias: str = "b") -> str:
+    rows = ", ".join(f"({b}, {x0}, {y0}, {x1}, {y1})"
+                     for b, x0, y0, x1, y1 in boxes)
+    return (f"(VALUES {rows}) AS {alias}(box_id, bxlo, bylo, bxhi, byhi)")
+
+
+def circles_values_sql(circles, alias: str = "c") -> str:
+    rows = ", ".join(f"({i}, {x}, {y}, {r})" for i, x, y, r in circles)
+    return f"(VALUES {rows}) AS {alias}(circle_id, cx, cy, r)"
+
+
+def tiles_values_sql(tiles, alias: str = "t") -> str:
+    rows = ", ".join(f"({i}, {x0}, {y0}, {x1}, {y1})"
+                     for i, x0, y0, x1, y1 in tiles)
+    return f"(VALUES {rows}) AS {alias}(tile_id, tx0, ty0, tx1, ty1)"
+
+
+def polygon_pred_sql(verts, x: str = "x", y: str = "y") -> str:
+    """Conjunction of CCW left-of-edge integer cross-product tests."""
+    terms = []
+    k = len(verts)
+    for j in range(k):
+        x1, y1 = verts[j]
+        x2, y2 = verts[(j + 1) % k]
+        terms.append(f"(({x2 - x1}) * ({y} - {y1}) - "
+                     f"({y2 - y1}) * ({x} - {x1}) >= 0)")
+    return "(" + " AND ".join(terms) + ")"
+
+
+def polygon_bbox(verts) -> tuple[int, int, int, int]:
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    return min(xs), min(ys), max(xs), max(ys)

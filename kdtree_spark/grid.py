@@ -1,0 +1,97 @@
+"""Global grid — the *top* level of the two-level distributed index.
+
+The reference builds the top of its kd-tree by sampling ~2048 points and
+picking 63 median pivots per 6-level round (`build_tree.hpp:49-70`), then
+counting-sort-shuffling all points into the 64 buckets
+(`build_tree.hpp:84-121`). In Spark, that shuffle IS the top of the tree:
+we use a fixed integer grid-cell id over the first two coordinate
+dimensions as the partition/shuffle key, and per-cell bounding-box stats
+(over ALL dims) as the pruning metadata (the analogue of interior-node
+bounding boxes, `utility/box_op.hpp`).
+
+Everything here is pure integer arithmetic so the same cell id is
+computable in three places with bit-identical results:
+  - a Spark SQL expression (JVM-side, codegen, no UDF),
+  - a DuckDB SQL expression (the driver's oracle),
+  - numpy (inside pandas UDFs for candidate generation).
+
+Domain: coordinates are int64 in [0, COORD_LIMIT) — matching the
+reference's `long` coords in [0, 1e6] (`tests/data_generate.cpp:19,33-42`,
+`README.md:125`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+COORD_LIMIT = 1_000_000  # exclusive upper bound on generated coords
+
+
+class Grid:
+    """g×g row-major cell grid over [0, COORD_LIMIT)²."""
+
+    def __init__(self, g: int):
+        assert g >= 1
+        self.g = g
+        self.cw = (COORD_LIMIT + g - 1) // g  # cell width, ceil
+
+    @staticmethod
+    def for_count(n: int, target_per_cell: int = 8192) -> "Grid":
+        """Pick a grid size so the average cell holds ~target rows.
+
+        The scale story: at 10^12 rows and target 8k/cell this yields a
+        ~11k×11k grid (1.2e8 cells) — cells stay executor-memory-sized
+        and the stats table stays a few GB (broadcastable in chunks or
+        range-partitioned). At test scale it degrades gracefully to a
+        handful of cells.
+        """
+        cells = max(1, n // max(1, target_per_cell))
+        g = max(1, int(np.ceil(np.sqrt(cells))))
+        return Grid(g)
+
+    # -- Spark SQL expression (string; plug into F.expr / selectExpr)
+    def spark_cell_sql(self, x: str = "x", y: str = "y") -> str:
+        return f"(({x} DIV {self.cw}) * {self.g} + ({y} DIV {self.cw}))"
+
+    # -- DuckDB SQL (oracle side)
+    def duckdb_cell_sql(self, x: str = "x", y: str = "y") -> str:
+        return f"(({x} // {self.cw}) * {self.g} + ({y} // {self.cw}))"
+
+    # -- numpy
+    def cell_of(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return (x // self.cw) * self.g + (y // self.cw)
+
+    def cell_bounds(self, cell: np.ndarray):
+        """Geometric bounds of cells: (xlo, ylo, xhi, yhi) inclusive."""
+        cx = cell // self.g
+        cy = cell % self.g
+        xlo = cx * self.cw
+        ylo = cy * self.cw
+        return xlo, ylo, xlo + self.cw - 1, ylo + self.cw - 1
+
+    def cells_overlapping_box(self, xlo, ylo, xhi, yhi) -> np.ndarray:
+        """All cell ids whose geometric extent intersects the box."""
+        cx0 = max(0, int(xlo) // self.cw)
+        cx1 = min(self.g - 1, int(xhi) // self.cw)
+        cy0 = max(0, int(ylo) // self.cw)
+        cy1 = min(self.g - 1, int(yhi) // self.cw)
+        if cx1 < cx0 or cy1 < cy0:
+            return np.empty(0, np.int64)
+        cxs = np.arange(cx0, cx1 + 1, dtype=np.int64)
+        cys = np.arange(cy0, cy1 + 1, dtype=np.int64)
+        return (cxs[:, None] * self.g + cys[None, :]).ravel()
+
+
+def box_min_dist2(qx: np.ndarray, qy: np.ndarray, boxes: np.ndarray
+                  ) -> np.ndarray:
+    """Squared L2 distance from each query to each box (m_q, m_box).
+
+    boxes: (m, 4) [xlo, ylo, xhi, yhi]. The distributed analogue of the
+    reference's `p2b_min_distance` (query_op/nn_search.hpp:22-35), used
+    to decide which cells a kNN query must visit.
+    """
+    dx = np.maximum(np.maximum(boxes[None, :, 0] - qx[:, None],
+                               qx[:, None] - boxes[None, :, 2]), 0).astype(np.float64)
+    dy = np.maximum(np.maximum(boxes[None, :, 1] - qy[:, None],
+                               qy[:, None] - boxes[None, :, 3]), 0).astype(np.float64)
+    return dx * dx + dy * dy

@@ -1,0 +1,249 @@
+"""The two-level distributed spatial index.
+
+Top level: grid-cell partition key (grid.py) — the shuffle that plays the
+role of the reference's sampled 6-level top-of-tree + counting-sort bucket
+shuffle (`build_tree.hpp:49-121`). Bottom level: a serialized numpy
+kd-tree per (cell, salt) built inside `applyInPandas` (localtree.py).
+
+Skew handling (the dummy-leaf / INBALANCE analogue at the distributed
+level, plus what BASELINE.json calls out): cells whose row count exceeds
+`hot_cell_cap` are salted into multiple index rows; every query operator
+cogroups on `cell` and scans all of a cell's blobs vectorized, so salting
+is invisible to query semantics. AQE skew-join handles residual imbalance.
+
+Updates are log-structured (I1/D1/D2 of SURVEY §2): new rows are
+cell-encoded and cogrouped against the index; untouched cells pass
+through without deserialization; touched cells append to the extra log /
+tombstone set and rebuild only past the INBALANCE_RATIO=30 threshold
+(`tree_node.hpp:127-131` analogue). Deletes are partial-cover tolerant
+(`batch_delete.hpp:95-107`).
+
+Persistence is write-audit-publish: parquet + JSON manifest written to a
+temp dir, audited (row counts), then atomically renamed — the checkpoint
+/ lineage story. Each manifest records per-cell counts, depths and build
+metrics (the analogue of the reference's per-run timing lines).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .grid import Grid
+from .localtree import LocalKDTree
+
+INDEX_SCHEMA = ("cell long, salt int, cnt long, nextra long, ntomb long, "
+                "depth int, xmin long, ymin long, xmax long, ymax long, "
+                "blob binary")
+
+STATS_COLS = ["cell", "salt", "cnt", "nextra", "ntomb", "depth",
+              "xmin", "ymin", "xmax", "ymax"]
+
+HOT_CELL_CAP = 131_072  # rows per index blob before salting splits it
+
+
+def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
+    if tree.n_base:
+        root = tree.nbox[0]
+        xmin, ymin = int(root[0]), int(root[1])
+        xmax, ymax = int(root[2]), int(root[3])
+    else:
+        xmin = ymin = 0
+        xmax = ymax = -1
+    # widen bbox to cover the extra log (stats must stay a valid superset)
+    if len(tree.extra_ids):
+        xmin = min(xmin, int(tree.extra_pts[:, 0].min()))
+        ymin = min(ymin, int(tree.extra_pts[:, 1].min()))
+        xmax = max(xmax, int(tree.extra_pts[:, 0].max()))
+        ymax = max(ymax, int(tree.extra_pts[:, 1].max()))
+    return dict(cell=cell, salt=salt, cnt=tree.n_live,
+                nextra=len(tree.extra_ids), ntomb=len(tree.tomb_ids),
+                depth=tree.depth, xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax,
+                blob=tree.to_bytes())
+
+
+def _build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    cell = int(pdf["cell"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    pts = pdf[["x", "y"]].to_numpy(np.int64)
+    ids = pdf["pid"].to_numpy(np.int64)
+    tree = LocalKDTree.build(pts, ids)
+    return pd.DataFrame([_tree_row(cell, salt, tree)])
+
+
+class SpatialIndex:
+    def __init__(self, spark: SparkSession, grid: Grid, df: DataFrame,
+                 manifest: dict | None = None):
+        self.spark = spark
+        self.grid = grid
+        self.df = df
+        self.manifest = manifest or {}
+        self._stats_pd: pd.DataFrame | None = None
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(cls, spark: SparkSession, points: DataFrame,
+              grid: Grid | None = None, n_hint: int | None = None,
+              hot_cell_cap: int = HOT_CELL_CAP) -> "SpatialIndex":
+        """points: DataFrame(pid long, x long, y long). Bulk load (B1-B7)."""
+        t0 = time.time()
+        n = n_hint if n_hint is not None else points.count()
+        grid = grid or Grid.for_count(n)
+        pts = points.selectExpr(
+            "pid", "x", "y", f"{grid.spark_cell_sql()} AS cell")
+
+        # salting plan from per-cell counts (the sampled-pivot round's
+        # analogue: one cheap agg instead of a sample)
+        counts = pts.groupBy("cell").agg(F.count("*").alias("c"))
+        nsplit = counts.select(
+            "cell",
+            (F.floor((F.col("c") - 1) / F.lit(hot_cell_cap)) + 1)
+            .cast("int").alias("nsplit"))
+        pts = (pts.join(F.broadcast(nsplit), "cell")
+               .withColumn("salt",
+                           F.when(F.col("nsplit") <= 1, F.lit(0))
+                           .otherwise(F.pmod(F.col("pid"), F.col("nsplit")))
+                           .cast("int"))
+               .drop("nsplit"))
+
+        built = pts.groupBy("cell", "salt").applyInPandas(
+            _build_group, INDEX_SCHEMA)
+        df = built.cache()
+        ncells = df.count()  # materialize
+        manifest = dict(kind="build", n=n, grid_g=grid.g, cells=ncells,
+                        wall_sec=time.time() - t0,
+                        version=str(uuid.uuid4())[:8])
+        return cls(spark, grid, df, manifest)
+
+    # ------------------------------------------------------------------ stats
+    def stats(self) -> pd.DataFrame:
+        """Per-blob stats (no blobs) — the pruning metadata. Cached."""
+        if self._stats_pd is None:
+            self._stats_pd = self.df.select(*STATS_COLS).toPandas()
+        return self._stats_pd
+
+    # ---------------------------------------------------------------- updates
+    def update(self, inserts: DataFrame | None = None,
+               deletes: DataFrame | None = None) -> "SpatialIndex":
+        """Batch insert/delete (I1, D1/D2). Both args: (pid, x, y).
+
+        Untouched cells pass through byte-identical (no deserialize);
+        touched cells go log-structured with threshold rebuild.
+        """
+        t0 = time.time()
+        spark = self.spark
+        grid = self.grid
+        parts = []
+        if inserts is not None:
+            parts.append(inserts.selectExpr(
+                "pid", "x", "y", f"{grid.spark_cell_sql()} AS cell",
+                "CAST(1 AS int) AS op"))
+        if deletes is not None:
+            parts.append(deletes.selectExpr(
+                "pid", "x", "y", f"{grid.spark_cell_sql()} AS cell",
+                "CAST(0 AS int) AS op"))
+        if not parts:
+            return self
+        ups = parts[0]
+        for p in parts[1:]:
+            ups = ups.unionByName(p)
+
+        def apply_updates(key, updf: pd.DataFrame, idxdf: pd.DataFrame
+                          ) -> pd.DataFrame:
+            cell = int(key[0])
+            if len(updf) == 0:
+                return idxdf  # passthrough, blobs untouched
+            ins = updf[updf["op"] == 1]
+            del_ = updf[updf["op"] == 0]
+            out = []
+            if len(idxdf) == 0:
+                # brand-new cell: build from inserts alone
+                if len(ins):
+                    tree = LocalKDTree.build(
+                        ins[["x", "y"]].to_numpy(np.int64),
+                        ins["pid"].to_numpy(np.int64))
+                    out.append(_tree_row(cell, 0, tree))
+                return pd.DataFrame(out) if out else idxdf.iloc[0:0]
+            nsalt = len(idxdf)
+            ins_pts = ins[["x", "y"]].to_numpy(np.int64)
+            ins_ids = ins["pid"].to_numpy(np.int64)
+            del_pts = del_[["x", "y"]].to_numpy(np.int64)
+            del_ids = del_["pid"].to_numpy(np.int64)
+            ins_salt = (ins_ids % nsalt) if nsalt > 1 else np.zeros(
+                len(ins_ids), np.int64)
+            for j in range(len(idxdf)):
+                row = idxdf.iloc[j]
+                tree = LocalKDTree.from_bytes(row["blob"])
+                m = ins_salt == j
+                # deletes are routed by membership (exact, partial-cover)
+                own = (np.isin(del_ids, tree.ids)
+                       | np.isin(del_ids, tree.extra_ids))
+                t2 = tree.with_updates(ins_pts[m], ins_ids[m],
+                                       del_pts[own], del_ids[own])
+                out.append(_tree_row(cell, int(row["salt"]), t2))
+            return pd.DataFrame(out)
+
+        new_df = (ups.groupby("cell")
+                  .cogroup(self.df.groupby("cell"))
+                  .applyInPandas(apply_updates, INDEX_SCHEMA)).cache()
+        ncells = new_df.count()
+        manifest = dict(kind="update", base_version=self.manifest.get("version"),
+                        cells=ncells, wall_sec=time.time() - t0,
+                        version=str(uuid.uuid4())[:8])
+        return SpatialIndex(self.spark, grid, new_df, manifest)
+
+    # -------------------------------------------------------------- persist
+    def save(self, path: str) -> str:
+        """Write-audit-publish: parquet + manifest, atomic rename."""
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        self.df.write.mode("overwrite").parquet(os.path.join(tmp, "index"))
+        stats = self.stats()
+        audit = dict(self.manifest)
+        audit["total_rows"] = int(stats["cnt"].sum())
+        audit["cells"] = int(len(stats))
+        audit["max_depth"] = int(stats["depth"].max()) if len(stats) else 0
+        audit["grid_g"] = self.grid.g
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(audit, f, indent=1)
+        # audit: re-read row count matches
+        back = self.spark.read.parquet(os.path.join(tmp, "index")).count()
+        assert back == audit["cells"], "audit failed: row count mismatch"
+        if os.path.exists(path):
+            os.rename(path, path + f".old-{uuid.uuid4().hex[:8]}")
+        os.rename(tmp, path)
+        return path
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SpatialIndex":
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        df = spark.read.parquet(os.path.join(path, "index"))
+        return cls(spark, Grid(int(manifest["grid_g"])), df, manifest)
+
+    # ------------------------------------------------------------ validation
+    def validate(self, expected_n: int | None = None) -> dict:
+        """Structural invariants (utility/validation.hpp analogue)."""
+        stats = self.stats()
+        total = int(stats["cnt"].sum())
+        if expected_n is not None:
+            assert total == expected_n, (total, expected_n)
+        live = stats[stats["cnt"] > 0]
+        assert (live["xmin"] <= live["xmax"]).all()
+        assert (live["ymin"] <= live["ymax"]).all()
+        # every blob's bbox sits inside its cell's geometric bounds
+        # (only for unsalted, tomb-free cells built straight from data)
+        xlo, ylo, xhi, yhi = self.grid.cell_bounds(live["cell"].to_numpy())
+        fresh = (live["nextra"].to_numpy() == 0) & (live["ntomb"].to_numpy() == 0)
+        assert (live["xmin"].to_numpy()[fresh] >= xlo[fresh]).all()
+        assert (live["xmax"].to_numpy()[fresh] <= xhi[fresh]).all()
+        assert (live["ymin"].to_numpy()[fresh] >= ylo[fresh]).all()
+        assert (live["ymax"].to_numpy()[fresh] <= yhi[fresh]).all()
+        return dict(total=total, cells=len(stats),
+                    max_depth=int(stats["depth"].max()) if len(stats) else 0)
