@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: build the two-level spatial index over
+                  sf0.001 points and run the kNN k=10 join.
+queries()       — one entry per implemented operator (SURVEY.md §2 +
+                  training-pipeline extensions).
+oracle_sql()    — DuckDB-equivalent SQL per query (same column names,
+                  BIGINT-typed outputs, deterministic tie-breaks).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make kdtree_spark importable on executors (driver-created session)."""
+    try:
+        from kdtree_spark.session import _package_zip
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added, or local import suffices
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ship_package(spark)
+    from kdtree_spark import points
+    from kdtree_spark.grid import Grid
+    from kdtree_spark.index import SpatialIndex
+    from kdtree_spark.queries.knn import knn_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    idx = SpatialIndex.build(spark, pts, grid=Grid(4))
+    q = points.load_query_points(spark, sf_dir, "uniform")
+    return knn_join(idx, q, 10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kdtree_spark.driver_queries import pipeline, spatial
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, fn in {**spatial.QUERIES, **pipeline.QUERIES}.items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            _ship_package(spark)
+            return _fn(spark, sf_dir)
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kdtree_spark.driver_queries import pipeline, spatial
+
+    return {**spatial.ORACLES, **pipeline.ORACLES}

@@ -1,0 +1,336 @@
+"""Driver-gate spatial queries: each returns a DataFrame and has a
+matching DuckDB oracle SQL over the same parquet views.
+
+Every callable takes (spark, sf_dir). Outputs use BIGINT columns with
+names identical to the oracle's aliases (the driver hash-compares after
+sorting columns by name).
+
+The index is memoized per (sf_dir, dist) so the driver's sequential
+query runs don't rebuild it each time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures, points
+from ..grid import Grid
+from ..index import SpatialIndex
+from ..queries.knn import knn_join
+from ..queries.polygon import (point_in_polygon, polygon_join_sql,
+                               tile_cell_assign, tile_cell_assign_sql)
+from ..queries.ranges import circle_count, range_count, range_report
+
+GRID_G = 8  # fixed grid for driver queries: 64 cells, sf-independent
+
+BOXES = fixtures.gen_boxes(30)
+BOXES_SMALL = fixtures.gen_boxes(12)
+CIRCLES = fixtures.gen_circles(15)
+POLYGONS = fixtures.gen_polygons(8)
+TILES = fixtures.gen_tiles(12)
+
+_INDEX_CACHE: dict = {}
+
+
+def get_index(spark: SparkSession, sf_dir: str, dist: str = "uniform"
+              ) -> SpatialIndex:
+    key = (id(spark), sf_dir, dist)
+    if key not in _INDEX_CACHE:
+        pts = points.load_points(spark, sf_dir, dist).select("pid", "x", "y")
+        _INDEX_CACHE[key] = SpatialIndex.build(spark, pts, grid=Grid(GRID_G))
+    return _INDEX_CACHE[key]
+
+
+def _pts_sql(dist: str = "uniform") -> str:
+    return f"SELECT {points.points_select_sql(dist)} FROM lineitem"
+
+
+def _q_sql(dist: str = "uniform", qdist: str | None = None) -> str:
+    return points.query_points_sql("lineitem", dist, qdist)
+
+
+# --------------------------------------------------------------------- cells
+
+def q_cell_assign(spark, sf_dir) -> DataFrame:
+    """B4: vectorized cell-id assignment, aggregated per cell."""
+    g = Grid(GRID_G)
+    pts = points.load_points(spark, sf_dir, "uniform")
+    return (pts.selectExpr(f"{g.spark_cell_sql()} AS cell")
+            .groupBy("cell").agg(F.count("*").alias("cnt")))
+
+
+def sql_cell_assign() -> str:
+    g = Grid(GRID_G)
+    return (f"SELECT {g.duckdb_cell_sql()} AS cell, count(*) AS cnt "
+            f"FROM ({_pts_sql()}) GROUP BY 1")
+
+
+def q_index_stats(spark, sf_dir) -> DataFrame:
+    """B1-B7 structural check: per-cell live counts out of the built index."""
+    idx = get_index(spark, sf_dir)
+    return idx.df.groupBy("cell").agg(F.sum("cnt").alias("cnt"))
+
+
+# ------------------------------------------------------------------- ranges
+
+def q_range_count(spark, sf_dir) -> DataFrame:
+    return range_count(get_index(spark, sf_dir), BOXES)
+
+
+def sql_range_count() -> str:
+    vals = fixtures.boxes_values_sql(BOXES)
+    return f"""
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN ({_pts_sql()}) p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
+def q_range_report(spark, sf_dir) -> DataFrame:
+    return range_report(get_index(spark, sf_dir), BOXES_SMALL)
+
+
+def sql_range_report() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    return f"""
+SELECT b.box_id, p.pid, p.x, p.y
+FROM {vals}
+JOIN ({_pts_sql()}) p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi"""
+
+
+def q_circle_count(spark, sf_dir) -> DataFrame:
+    return circle_count(get_index(spark, sf_dir), CIRCLES)
+
+
+def sql_circle_count() -> str:
+    vals = fixtures.circles_values_sql(CIRCLES)
+    return f"""
+SELECT c.circle_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN ({_pts_sql()}) p
+  ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+     <= CAST(c.r AS BIGINT) * CAST(c.r AS BIGINT)
+GROUP BY c.circle_id"""
+
+
+# ---------------------------------------------------------------------- kNN
+
+def _q_knn(spark, sf_dir, k, dist="uniform", qdist=None) -> DataFrame:
+    idx = get_index(spark, sf_dir, dist)
+    q = points.load_query_points(spark, sf_dir, dist, qdist=qdist)
+    return (knn_join(idx, q, k)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def _sql_knn(k, dist="uniform", qdist=None) -> str:
+    return f"""
+WITH pts AS ({_pts_sql(dist)}),
+q AS (SELECT qid, x AS qx, y AS qy FROM ({_q_sql(dist, qdist)})),
+d AS (SELECT q.qid, pts.pid AS nid,
+             (pts.x - q.qx) * (pts.x - q.qx)
+           + (pts.y - q.qy) * (pts.y - q.qy) AS dist_sq
+      FROM q CROSS JOIN pts),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= {k}"""
+
+
+def q_knn_k1(spark, sf_dir):
+    return _q_knn(spark, sf_dir, 1)
+
+
+def q_knn_k10(spark, sf_dir):
+    return _q_knn(spark, sf_dir, 10)
+
+
+def q_knn_k100(spark, sf_dir):
+    return _q_knn(spark, sf_dir, 100)
+
+
+def q_knn_varden(spark, sf_dir):
+    """Skew path: variable-density clusters (hot cells + salting)."""
+    return _q_knn(spark, sf_dir, 10, dist="varden")
+
+
+def q_knn_ood(spark, sf_dir):
+    """H11: build on uniform, query with varden-derived points."""
+    return _q_knn(spark, sf_dir, 10, dist="uniform", qdist="varden")
+
+
+# -------------------------------------------------------------- batch updates
+
+def q_insert_then_count(spark, sf_dir) -> DataFrame:
+    """I1 batch insert -> range counts over the fixture boxes."""
+    idx = get_index(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_upd_lineitem")
+    ins = spark.sql(points.insert_batch_sql("_upd_lineitem"))
+    return range_count(idx.update(inserts=ins), BOXES)
+
+
+def sql_insert_then_count() -> str:
+    vals = fixtures.boxes_values_sql(BOXES)
+    return f"""
+WITH allpts AS (
+  SELECT pid, x, y FROM ({_pts_sql()})
+  UNION ALL
+  SELECT pid, x, y FROM ({points.insert_batch_sql('lineitem')})
+)
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN allpts p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
+def q_delete_then_count(spark, sf_dir) -> DataFrame:
+    """D1/D2 batch delete -> range counts."""
+    idx = get_index(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_upd_lineitem")
+    dele = spark.sql(points.delete_batch_sql("_upd_lineitem", "uniform"))
+    return range_count(idx.update(deletes=dele), BOXES)
+
+
+def sql_delete_then_count() -> str:
+    vals = fixtures.boxes_values_sql(BOXES)
+    return f"""
+WITH live AS (
+  SELECT pid, x, y FROM ({_pts_sql()})
+  WHERE pid NOT IN (SELECT pid FROM ({points.delete_batch_sql('lineitem')}))
+)
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN live p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
+def q_update_then_knn(spark, sf_dir) -> DataFrame:
+    """I1+D1 combined, then kNN k=10 — the tag=2 workload of
+    script/checkCorrect.sh (insert+delete before querying)."""
+    idx = get_index(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_upd_lineitem")
+    ins = spark.sql(points.insert_batch_sql("_upd_lineitem"))
+    dele = spark.sql(points.delete_batch_sql("_upd_lineitem", "uniform"))
+    idx2 = idx.update(inserts=ins, deletes=dele)
+    q = points.load_query_points(spark, sf_dir, "uniform")
+    return (knn_join(idx2, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_update_then_knn() -> str:
+    return f"""
+WITH live AS (
+  SELECT pid, x, y FROM ({_pts_sql()})
+  WHERE pid NOT IN (SELECT pid FROM ({points.delete_batch_sql('lineitem')}))
+  UNION ALL
+  SELECT pid, x, y FROM ({points.insert_batch_sql('lineitem')})
+),
+q AS (SELECT qid, x AS qx, y AS qy FROM ({_q_sql()})),
+d AS (SELECT q.qid, live.pid AS nid,
+             (live.x - q.qx) * (live.x - q.qx)
+           + (live.y - q.qy) * (live.y - q.qy) AS dist_sq
+      FROM q CROSS JOIN live),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
+
+
+# --------------------------------------------------- sliding window (H8)
+
+def q_sliding_window_count(spark, sf_dir) -> DataFrame:
+    """insertOsmByTime analogue: 10 time slices, window length 5 —
+    insert slice t, evict slice t-5; final state = slices 5..9."""
+    pts = points.load_points(spark, sf_dir, "varden")
+    idx = SpatialIndex.build(
+        spark, pts.filter("slice = 0").select("pid", "x", "y"), grid=Grid(GRID_G))
+    for t in range(1, 10):
+        ins = pts.filter(f"slice = {t}").select("pid", "x", "y")
+        dele = (pts.filter(f"slice = {t - 5}").select("pid", "x", "y")
+                if t >= 5 else None)
+        idx = idx.update(inserts=ins, deletes=dele)
+    return range_count(idx, BOXES)
+
+
+def sql_sliding_window_count() -> str:
+    vals = fixtures.boxes_values_sql(BOXES)
+    return f"""
+WITH live AS (SELECT * FROM ({_pts_sql('varden')}) WHERE slice >= 5)
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN live p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
+# ------------------------------------------------------- polygon / raster
+
+def q_point_in_polygon(spark, sf_dir) -> DataFrame:
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    return point_in_polygon(pts, POLYGONS)
+
+
+def sql_point_in_polygon() -> str:
+    return polygon_join_sql(f"SELECT pid, x, y FROM ({_pts_sql()})", POLYGONS)
+
+
+def q_tile_cells(spark, sf_dir) -> DataFrame:
+    return tile_cell_assign(spark, Grid(GRID_G), TILES)
+
+
+def sql_tile_cells() -> str:
+    return tile_cell_assign_sql(Grid(GRID_G), fixtures.tiles_values_sql(TILES))
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "cell_assign": q_cell_assign,
+    "index_stats": q_index_stats,
+    "range_count": q_range_count,
+    "range_report": q_range_report,
+    "circle_count": q_circle_count,
+    "knn_k1": q_knn_k1,
+    "knn_k10": q_knn_k10,
+    "knn_k100": q_knn_k100,
+    "knn_varden": q_knn_varden,
+    "knn_ood": q_knn_ood,
+    "insert_then_count": q_insert_then_count,
+    "delete_then_count": q_delete_then_count,
+    "update_then_knn": q_update_then_knn,
+    "sliding_window_count": q_sliding_window_count,
+    "point_in_polygon": q_point_in_polygon,
+    "tile_cells": q_tile_cells,
+}
+
+ORACLES = {
+    "cell_assign": sql_cell_assign(),
+    "index_stats": sql_cell_assign(),  # same ground truth, via the index
+    "range_count": sql_range_count(),
+    "range_report": sql_range_report(),
+    "circle_count": sql_circle_count(),
+    "knn_k1": _sql_knn(1),
+    "knn_k10": _sql_knn(10),
+    "knn_k100": _sql_knn(100),
+    "knn_varden": _sql_knn(10, dist="varden"),
+    "knn_ood": _sql_knn(10, dist="uniform", qdist="varden"),
+    "insert_then_count": sql_insert_then_count(),
+    "delete_then_count": sql_delete_then_count(),
+    "update_then_knn": sql_update_then_knn(),
+    "sliding_window_count": sql_sliding_window_count(),
+    "point_in_polygon": sql_point_in_polygon(),
+    "tile_cells": sql_tile_cells(),
+}

@@ -1,0 +1,93 @@
+"""Point-in-polygon join + raster-tile<->cell assignment.
+
+No reference counterpart (BASELINE.json adds these on top of the kd-tree
+suite); they reuse the same cell-join/box-pruning skeleton.
+
+Point-in-polygon: convex CCW polygons become a conjunction of integer
+half-plane predicates — pure Spark SQL expressions, whole-stage
+codegen'd, no UDF. The polygon's bbox is a leading conjunct so Catalyst
+pushes it into the parquet scan (min/max pruning); at index level the
+bbox also prunes cells. Small polygon sets broadcast naturally (they are
+literals in the plan).
+
+Raster assignment: a tile's covered cell ids are two integer ranges —
+`sequence() x explode` JVM-side, no UDF, identical arithmetic to the
+DuckDB oracle's generate_series/unnest.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import polygon_bbox, polygon_pred_sql
+from ..grid import Grid
+
+
+def point_in_polygon(points: DataFrame, polygons) -> DataFrame:
+    """points: (pid, x, y); polygons: [(poly_id, [(x,y),...])] (convex CCW).
+
+    -> (poly_id, pid, x, y): every point inside each polygon (inclusive
+    of edges). One scan per polygon, unioned — Catalyst merges the
+    bbox conjunct into the scan's PushedFilters.
+    """
+    parts = []
+    for poly_id, verts in polygons:
+        x0, y0, x1, y1 = polygon_bbox(verts)
+        pred = polygon_pred_sql(verts, "x", "y")
+        parts.append(
+            points.filter(
+                (F.col("x") >= x0) & (F.col("x") <= x1)
+                & (F.col("y") >= y0) & (F.col("y") <= y1))
+            .filter(F.expr(pred))
+            .select(F.lit(int(poly_id)).alias("poly_id"), "pid", "x", "y"))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def polygon_join_sql(table_points_sql: str, polygons) -> str:
+    """DuckDB oracle: same predicates over the same derived points."""
+    selects = []
+    for poly_id, verts in polygons:
+        x0, y0, x1, y1 = polygon_bbox(verts)
+        pred = polygon_pred_sql(verts, "x", "y")
+        selects.append(
+            f"SELECT {poly_id} AS poly_id, pid, x, y FROM "
+            f"({table_points_sql}) WHERE x >= {x0} AND x <= {x1} "
+            f"AND y >= {y0} AND y <= {y1} AND {pred}")
+    return " UNION ALL ".join(selects)
+
+
+def tile_cell_assign(spark: SparkSession, grid: Grid, tiles) -> DataFrame:
+    """tiles: [(tile_id, x0, y0, x1, y1)] -> (tile_id, cell).
+
+    Every grid cell whose geometric extent intersects the tile.
+    """
+    tdf = spark.createDataFrame(
+        [(int(t), int(a), int(b), int(c), int(d)) for t, a, b, c, d in tiles],
+        "tile_id long, tx0 long, ty0 long, tx1 long, ty1 long")
+    cw, g = grid.cw, grid.g
+    return (tdf
+            .withColumn("cx", F.explode(F.sequence(
+                F.expr(f"tx0 DIV {cw}"), F.expr(f"LEAST(tx1 DIV {cw}, {g - 1})"))))
+            .withColumn("cy", F.explode(F.sequence(
+                F.expr(f"ty0 DIV {cw}"), F.expr(f"LEAST(ty1 DIV {cw}, {g - 1})"))))
+            .select("tile_id",
+                    (F.col("cx") * g + F.col("cy")).alias("cell")))
+
+
+def tile_cell_assign_sql(grid: Grid, tiles_values_sql: str) -> str:
+    """DuckDB oracle for tile_cell_assign (generate_series + unnest)."""
+    cw, g = grid.cw, grid.g
+    return f"""
+SELECT tile_id, cx * {g} + cy AS cell
+FROM (
+  SELECT tile_id,
+         unnest(generate_series(tx0 // {cw}, LEAST(tx1 // {cw}, {g - 1}))) AS cx,
+         ty0, ty1
+  FROM {tiles_values_sql}
+) tt, LATERAL (
+  SELECT unnest(generate_series(ty0 // {cw}, LEAST(ty1 // {cw}, {g - 1}))) AS cy
+) yy
+"""
