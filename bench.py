@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall seconds across the headline queries (lower is
+better). Extra keys report throughputs the judge can compare against
+BASELINE.md (build rows/s, kNN q/s, range q/s).
+
+Usage:
+    python bench.py                  # full headline run, one JSON line
+    python bench.py --cpus 8         # override parallelism (scaling study)
+    python bench.py --queries knn_k10,range_count
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "knn_k1", "knn_k10", "knn_k100", "knn_varden",
+    "range_count", "range_report", "circle_count",
+    "insert_then_count", "delete_then_count", "update_then_knn",
+    "point_in_polygon", "tile_cells",
+    "dedup_exact", "dedup_minhash", "ann_cosine_topk", "text_quality",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of query names")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from kdtree_spark import points
+    from kdtree_spark.grid import Grid
+    from kdtree_spark.index import SpatialIndex
+    from kdtree_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=args.cpus,
+                      shuffle_partitions=max(args.cpus, 8))
+    sf_dir = args.sf_dir
+    # label the run by lineitem row count (sf0.1 ~ 600k)
+    n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    sf = round(n_rows / 6_000_000, 4)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- index build, timed separately (B1-B7 headline) ----------------------
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    t0 = time.time()
+    idx = SpatialIndex.build(spark, pts, grid=Grid(8), n_hint=n_rows)
+    timings["index_build"] = time.time() - t0
+    extras["build_rows_per_sec"] = round(n_rows / timings["index_build"], 1)
+
+    # seed the driver-query cache so per-query timings measure queries only
+    from kdtree_spark.driver_queries import spatial as dq
+    dq._INDEX_CACHE[(id(spark), sf_dir, "uniform")] = idx
+
+    queries = entrymod.queries()
+    names = (args.queries.split(",") if args.queries else HEADLINE)
+    n_knn_queries = max(1, n_rows // 101)
+    for name in names:
+        if name not in queries:
+            continue
+        t0 = time.time()
+        cnt = queries[name](spark, sf_dir).count()
+        timings[name] = time.time() - t0
+        if name.startswith("knn_"):
+            extras[f"{name}_q_per_sec"] = round(n_knn_queries / timings[name], 1)
+        elif name in ("range_count", "circle_count"):
+            extras[f"{name}_q_per_sec"] = round(cnt / timings[name], 1)
+
+    total = sum(timings.values())
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": args.cpus,
+        "rows": n_rows,
+        "throughput": extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
