@@ -29,7 +29,8 @@ HEADLINE = [
     "range_count", "range_report", "circle_count",
     "insert_then_count", "delete_then_count", "update_then_knn",
     "point_in_polygon", "tile_cells",
-    "dedup_exact", "dedup_minhash", "ann_cosine_topk", "text_quality",
+    "dedup_exact", "dedup_ngram", "dedup_minhash", "simhash",
+    "ann_cosine_topk", "embedding_neardup", "text_stats", "token_topk",
 ]
 
 
