@@ -44,10 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from kdtree_spark.driver_queries import pipeline, spatial
+    from kdtree_spark.driver_queries import imaging, pipeline, spatial
 
     out: dict[str, Callable] = {}
-    for name, fn in {**spatial.QUERIES, **pipeline.QUERIES}.items():
+    for name, fn in {**spatial.QUERIES, **pipeline.QUERIES,
+                     **imaging.QUERIES}.items():
         def wrapped(spark, sf_dir, _fn=fn):
             _ship_package(spark)
             return _fn(spark, sf_dir)
@@ -56,6 +57,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kdtree_spark.driver_queries import pipeline, spatial
+    from kdtree_spark.driver_queries import imaging, pipeline, spatial
 
-    return {**spatial.ORACLES, **pipeline.ORACLES}
+    return {**spatial.ORACLES, **pipeline.ORACLES, **imaging.ORACLES}

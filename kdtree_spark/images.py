@@ -1,0 +1,218 @@
+"""Image + caption payload: the BASELINE.json input table
+(image_id string, bytes binary, w int, h int, fmt string,
+ caption string, phash bigint)
+synthesized deterministically at small scale, with real Spark plumbing —
+generation, decode, feature-extraction and perceptual-hash kernels all
+run as vectorized numpy inside mapInPandas over Arrow batches.
+
+Codecs: 'raw' (packed RGB) and 'rawz' (zlib-compressed RGB) are real and
+lossless (so decoded-pixel PSNR is infinite >= 40 dB by construction).
+'jpeg'/'png' decode is STUBBED with NotImplementedError — the image
+libraries are not in this container; the Spark-side plumbing (schema,
+partitioning, batch shapes) is identical for any codec.
+
+Spatial link (the raster<->vector story of BASELINE.json): every image
+carries a deterministic centroid (cx, cy) in the kd-tree coordinate
+domain [0, 1e6)^2, derived arithmetically from its id — so image rows
+are points, the two-level index built over them answers kNN/range over
+images, and the arithmetic is reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+IMAGE_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long")
+
+LOSSLESS_FMTS = ("raw", "rawz")
+
+# centroid derivation (same text in Spark SQL and DuckDB; % on
+# non-negative operands agrees across engines)
+CX_SQL = "((doc_id * 2654435761 + 977) % 1000000)"
+CY_SQL = "((doc_id * 2246822519 + 3253) % 1000000)"
+# w/h derive from the caption (like the pixels) so duplicate captions
+# produce byte-identical images; still pure SQL arithmetic for oracles
+W_SQL = "(16 + (length(text) * 40503) % 17)"
+H_SQL = "(16 + (length(text) * 65521) % 17)"
+
+
+# ----------------------------------------------------------------- codecs
+
+def encode_pixels(px: np.ndarray, fmt: str) -> bytes:
+    """px: (h, w, 3) uint8 -> bytes in the given format."""
+    raw = px.tobytes()
+    if fmt == "raw":
+        return raw
+    if fmt == "rawz":
+        return zlib.compress(raw, 6)
+    raise NotImplementedError(
+        f"codec '{fmt}' not available in this environment (stub)")
+
+
+def decode_pixels(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """bytes -> (h, w, 3) uint8. Lossless for raw/rawz."""
+    if fmt == "raw":
+        buf = data
+    elif fmt == "rawz":
+        buf = zlib.decompress(data)
+    else:
+        raise NotImplementedError(
+            f"codec '{fmt}' not available in this environment (stub)")
+    return np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf when identical)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 20 * np.log10(255.0 / np.sqrt(mse))
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit perceptual hash: 8x8 block-mean grayscale, threshold at the
+    global mean, row-major bit pack. Deterministic pure-numpy."""
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (blocks >= blocks.mean()).ravel()
+    return int((bits.astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+
+def content_seed(caption: str) -> int:
+    """Image content is keyed by the CAPTION hash, not the row id — so
+    duplicate captions yield byte-identical pixels and phash-0 pairs,
+    making pixel-level dedup consistent with text-level dedup."""
+    import hashlib
+    return int(hashlib.md5(caption.encode()).hexdigest()[:14], 16)
+
+
+def render_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels: a per-image random 4x4 low-frequency color
+    field, nearest-upsampled, plus fine noise. Low-frequency content
+    makes phash discriminative (unrelated images differ in ~half their
+    bits); determinism makes every executor reproduce the same image."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, size=(4, 4, 3))
+    yi = (np.arange(h) * 4) // h
+    xi = (np.arange(w) * 4) // w
+    base = coarse[yi][:, xi]
+    noise = rng.integers(0, 16, size=(h, w, 3))
+    return ((base + noise) % 256).astype(np.uint8)
+
+
+# ----------------------------------------------------------- table synth
+
+def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint table, derived 1:1 from `documents`: caption is the
+    doc text (byte-for-byte), pixels/phash deterministic per doc_id, fmt
+    alternates raw/rawz. Generation is a narrow mapInPandas — at 10^12
+    rows it parallelizes over input splits with no shuffle."""
+    docs = spark.sql(
+        f"SELECT doc_id, text, {CX_SQL} AS cx, {CY_SQL} AS cy, "
+        f"{W_SQL} AS w, {H_SQL} AS h FROM {{d}}",
+        d=spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, cx, cy, w, h in zip(
+                    pdf.doc_id, pdf.text, pdf.cx, pdf.cy, pdf.w, pdf.h):
+                fmt = "raw" if doc_id % 2 == 0 else "rawz"
+                px = render_pixels(content_seed(text), int(w), int(h))
+                rows.append((f"img-{doc_id:012d}", encode_pixels(px, fmt),
+                             int(w), int(h), fmt, text, phash64(px),
+                             int(cx), int(cy)))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "cx", "cy"])
+
+    return docs.mapInPandas(gen, IMAGE_SCHEMA + ", cx long, cy long")
+
+
+# ------------------------------------------------------- pipeline kernels
+
+FEAT_SCHEMA = ("image_id string, mean_lum double, std_lum double, "
+               "phash_check long, psnr_db double")
+
+
+def decode_features(images: DataFrame) -> DataFrame:
+    """Decode every image, recompute phash, measure round-trip PSNR and
+    luminance stats — the feature-extraction stage shape (decode ->
+    numpy kernel -> narrow output), Arrow-batched, no shuffle."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("image_id", "mean_lum", "std_lum", "phash_check",
+                    "psnr_db")}
+            for iid, data, w, h, fmt in zip(
+                    pdf.image_id, pdf.bytes, pdf.w, pdf.h, pdf.fmt):
+                px = decode_pixels(data, fmt, int(w), int(h))
+                rt = decode_pixels(encode_pixels(px, fmt), fmt,
+                                   int(w), int(h))
+                p = psnr(px, rt)
+                out["image_id"].append(iid)
+                out["mean_lum"].append(float(px.mean()))
+                out["std_lum"].append(float(px.std()))
+                out["phash_check"].append(phash64(px))
+                out["psnr_db"].append(1e9 if p == float("inf") else p)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        feats, FEAT_SCHEMA)
+
+
+def resize_images(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
+    """Nearest-neighbor thumbnail stage: (image_id, bytes raw thumb)."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs = [], []
+            for iid, data, w, h, fmt in zip(
+                    pdf.image_id, pdf.bytes, pdf.w, pdf.h, pdf.fmt):
+                px = decode_pixels(data, fmt, int(w), int(h))
+                yi = (np.arange(th) * int(h)) // th
+                xi = (np.arange(tw) * int(w)) // tw
+                ids.append(iid)
+                thumbs.append(px[yi][:, xi].tobytes())
+            yield pd.DataFrame({"image_id": ids, "bytes": thumbs})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        rz, "image_id string, bytes binary")
+
+
+def phash_pairs(images: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate images by phash Hamming distance <= 7, banded into
+    8 blocks of 8 bits (pigeonhole => lossless candidates, like
+    pipeline.dedup.simhash_pairs). Output (ia, ib, hamming)."""
+    from pyspark.sql import functions as F
+    blocks = images.select(
+        "image_id", "phash",
+        F.explode(F.array(*[
+            (F.lit(j * 256)
+             + F.shiftright("phash", j * 8).bitwiseAND(F.lit(0xFF)))
+            for j in range(8)])).alias("blk"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.image_id") < F.col("b.image_id")))
+            .select(F.col("a.image_id").alias("ia"),
+                    F.col("a.phash").alias("pa"),
+                    F.col("b.image_id").alias("ib"),
+                    F.col("b.phash").alias("pb"))
+            .distinct())
+    return (cand.withColumn("hamming",
+                            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("ia", "ib",
+                    F.col("hamming").cast("long").alias("hamming")))
