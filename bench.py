@@ -24,14 +24,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+HEADLINE_SPATIAL = [
     "knn_k1", "knn_k10", "knn_k100", "knn_varden",
     "range_count", "range_report", "circle_count",
     "insert_then_count", "delete_then_count", "update_then_knn",
     "point_in_polygon", "tile_cells",
+]
+HEADLINE_PIPELINE = [
     "dedup_exact", "dedup_ngram", "dedup_minhash", "simhash",
     "ann_cosine_topk", "embedding_neardup", "text_stats", "token_topk",
 ]
+HEADLINE = HEADLINE_SPATIAL + HEADLINE_PIPELINE
 
 
 def main() -> None:
@@ -58,6 +61,15 @@ def main() -> None:
     n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     sf = round(n_rows / 6_000_000, 4)
 
+    # warmup: spin the JVM, shuffle machinery and Python UDF workers so
+    # timings measure the engine, not process start
+    import pandas as _pd
+    spark.range(1_000_000).selectExpr("id % 97 AS g", "id") \
+        .groupBy("g").count().count()
+    spark.range(10_000).selectExpr("CAST(id % 7 AS long) AS g", "id") \
+        .groupby("g").applyInPandas(
+            lambda p: _pd.DataFrame({"n": [len(p)]}), "n long").count()
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -78,6 +90,11 @@ def main() -> None:
     for name in names:
         if name not in queries:
             continue
+        if name == HEADLINE_PIPELINE[0] and args.queries is None:
+            # spatial family done: drop its caches so pipeline timings
+            # aren't skewed by memory pressure from index/blob caches
+            spark.catalog.clearCache()
+            dq._INDEX_CACHE.clear()
         t0 = time.time()
         cnt = queries[name](spark, sf_dir).count()
         timings[name] = time.time() - t0

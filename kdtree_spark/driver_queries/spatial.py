@@ -280,7 +280,7 @@ GROUP BY b.box_id"""
 
 def q_point_in_polygon(spark, sf_dir) -> DataFrame:
     pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
-    return point_in_polygon(pts, POLYGONS)
+    return point_in_polygon(pts, POLYGONS, grid=Grid(GRID_G))
 
 
 def sql_point_in_polygon() -> str:

@@ -115,7 +115,10 @@ class SpatialIndex:
 
         built = pts.groupBy("cell", "salt").applyInPandas(
             _build_group, INDEX_SCHEMA)
-        df = built.cache()
+        # cache pre-clustered by cell: every query cogroups on "cell", and
+        # a cached HashPartitioning(cell) lets the planner skip re-shuffling
+        # the blob side on each query (exchange reuse across jobs)
+        df = built.repartition("cell").cache()
         ncells = df.count()  # materialize
         manifest = dict(kind="build", n=n, grid_g=grid.g, cells=ncells,
                         wall_sec=time.time() - t0,
@@ -192,7 +195,8 @@ class SpatialIndex:
 
         new_df = (ups.groupby("cell")
                   .cogroup(self.df.groupby("cell"))
-                  .applyInPandas(apply_updates, INDEX_SCHEMA)).cache()
+                  .applyInPandas(apply_updates, INDEX_SCHEMA)
+                  .repartition("cell").cache())
         ncells = new_df.count()
         manifest = dict(kind="update", base_version=self.manifest.get("version"),
                         cells=ncells, wall_sec=time.time() - t0,

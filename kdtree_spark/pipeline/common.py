@@ -59,6 +59,42 @@ def perm_b_sql(i: str = "i") -> str:
     return f"(31 * {i} + 7)"
 
 
+# -- vectorized grouped-map without per-group UDF calls -----------------------
+
+def sorted_group_map(df, key: str, kernel, schema: str):
+    """groupBy(key).applyInPandas replacement for MANY SMALL groups:
+    repartition by key, sort within partitions, then one mapInPandas
+    pass whose kernel sees whole groups (boundary rows carry over
+    between Arrow batches). The kernel receives a pandas DataFrame
+    sorted by `key` containing only complete groups and can use
+    np.*.reduceat over group starts — thousands of groups per call
+    instead of one Python call per group."""
+    import numpy as np
+    import pandas as pd
+
+    parted = df.repartition(key).sortWithinPartitions(key)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                carry = None
+                continue
+            k = pdf[key].to_numpy()
+            cut = int(np.searchsorted(k, k[-1]))  # start of the last group
+            if cut == 0:
+                carry = pdf        # batch is one (possibly split) group
+                continue
+            carry = pdf.iloc[cut:]
+            yield kernel(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield kernel(carry)
+
+    return parted.mapInPandas(run, schema)
+
+
 # -- stopword list used by quality scoring / lang-id --------------------------
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")

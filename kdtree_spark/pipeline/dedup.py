@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .common import (MINHASH_P, N_PERMS, ROWS_PER_BAND, SIG_BASE,
-                     perm_a_sql, perm_b_sql, spark_h_sql)
+                     perm_a_sql, perm_b_sql, sorted_group_map, spark_h_sql)
 from .textops import shingle_array_sql
 
 # --------------------------------------------------------------------- exact
@@ -48,13 +48,15 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, n: int = 3,
-                  tau_num: int = 1, tau_den: int = 2) -> DataFrame:
+                  tau_num: int = 1, tau_den: int = 2,
+                  sh: DataFrame | None = None) -> DataFrame:
     """Pairs (da < db) with shingle-Jaccard >= tau_num/tau_den, by exact
     integer cross-multiplication: den*inter >= num*(na+nb-inter).
 
     Returns (da, db, inter, na, nb) — all BIGINT, oracle-exact.
     """
-    sh = doc_shingles(docs, n).cache()
+    if sh is None:
+        sh = doc_shingles(docs, n).cache()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -76,30 +78,45 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
 
 # ------------------------------------------------------------------- minhash
 
-def minhash_bands(docs: DataFrame, n: int = 3) -> DataFrame:
+_PERM_I = np.arange(N_PERMS, dtype=np.int64)
+_PERM_A = 10007 * _PERM_I + 103      # == perm_a_sql / perm_b_sql
+_PERM_B = 31 * _PERM_I + 7
+_SLOT_MUL = SIG_BASE ** (_PERM_I % ROWS_PER_BAND)
+
+
+_N_BANDS_OUT = N_PERMS // ROWS_PER_BAND
+
+
+def _minhash_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized over MANY docs: pdf sorted by doc_id, whole groups."""
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    hm = pdf["hm"].to_numpy(np.int64)
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    v = (_PERM_A[None, :] * hm[:, None] + _PERM_B[None, :]) % MINHASH_P
+    mins = np.minimum.reduceat(v, starts, axis=0)      # (ndocs, N_PERMS)
+    sig = ((mins % SIG_BASE) * _SLOT_MUL[None, :]).reshape(
+        len(starts), _N_BANDS_OUT, ROWS_PER_BAND).sum(axis=2)
+    return pd.DataFrame({
+        "doc_id": np.repeat(doc[starts], _N_BANDS_OUT),
+        "band": np.tile(np.arange(_N_BANDS_OUT, dtype=np.int64),
+                        len(starts)),
+        "sig": sig.ravel()})
+
+
+def minhash_bands(docs: DataFrame, n: int = 3,
+                  sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, sig): banded MinHash signatures.
 
     minhash_i = (A_i * (H(shingle) % P) + B_i) % P, minimized per doc;
     band signature = base-SIG_BASE positional encoding of the band's row
-    minima (order-independent sum, exact int64).
-    """
-    sh = doc_shingles(docs, n)
+    minima. Shingle hashes are JVM-side md5 arithmetic; the 64-perm
+    min-reduction is one vectorized numpy kernel per doc group (shuffles
+    |shingles| rows once instead of exploding 64x)."""
+    if sh is None:
+        sh = doc_shingles(docs, n)
     hm = sh.selectExpr("doc_id", f"{spark_h_sql('s')} % {MINHASH_P} AS hm")
-    perms = hm.selectExpr(
-        "doc_id",
-        f"posexplode(transform(sequence(0, {N_PERMS - 1}), "
-        f"i -> (CAST({perm_a_sql()} AS BIGINT) * hm + {perm_b_sql()}) "
-        f"% {MINHASH_P}))")
-    mins = (perms.groupBy("doc_id", F.col("pos").alias("perm"))
-            .agg(F.min("col").alias("mh")))
-    return (mins.groupBy(
-                "doc_id",
-                (F.col("perm") / ROWS_PER_BAND).cast("long").alias("band"))
-            .agg(F.sum(
-                (F.col("mh") % SIG_BASE)
-                * F.pow(F.lit(SIG_BASE),
-                        F.col("perm") % ROWS_PER_BAND).cast("long"))
-                 .alias("sig")))
+    return sorted_group_map(hm, "doc_id", _minhash_kernel,
+                            "doc_id long, band long, sig long")
 
 
 def minhash_dedup(docs: DataFrame, n: int = 3,
@@ -111,7 +128,8 @@ def minhash_dedup(docs: DataFrame, n: int = 3,
     an equi-join on (band, sig) — at 10^12 docs this is the only near-dup
     join that avoids quadratic work.
     """
-    bands = minhash_bands(docs, n)
+    sh = doc_shingles(docs, n).cache()   # shared by LSH + verify stages
+    bands = minhash_bands(docs, n, sh=sh).cache()  # both sides of the join
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -120,9 +138,24 @@ def minhash_dedup(docs: DataFrame, n: int = 3,
             .select(F.col("a.doc_id").alias("da"),
                     F.col("b.doc_id").alias("db"))
             .distinct())
-    exact = jaccard_pairs(docs, n, tau_num, tau_den)
-    return cand.join(exact, ["da", "db"]).select(
-        "da", "db", "inter", "na", "nb")
+    # verify ONLY the candidates (never the all-pairs jaccard): shingle
+    # intersections are computed by joining the candidate list against
+    # the shingle sets of each side — work is O(|cand| * shingles/doc)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    inter = (cand
+             .join(sh.select(F.col("doc_id").alias("da"), "s"), "da")
+             .join(sh.select(F.col("doc_id").alias("db"), "s"),
+                   ["db", "s"])
+             .groupBy("da", "db").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sz.select(F.col("doc_id").alias("da"),
+                           F.col("nsh").alias("na")), "da")
+           .join(sz.select(F.col("doc_id").alias("db"),
+                           F.col("nsh").alias("nb")), "db")
+           .filter(F.lit(tau_den) * F.col("inter")
+                   >= F.lit(tau_num)
+                   * (F.col("na") + F.col("nb") - F.col("inter"))))
+    return out.select("da", "db", "inter", "na", "nb")
 
 
 # ------------------------------------------------------------------- simhash
@@ -130,14 +163,18 @@ def minhash_dedup(docs: DataFrame, n: int = 3,
 _SIM_BITS = 56  # width of the portable md5-prefix hash
 
 
-def _simhash_group(pdf: pd.DataFrame) -> pd.DataFrame:
+_BITS_56 = np.arange(_SIM_BITS, dtype=np.int64)
+
+
+def _simhash_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized over MANY docs: pdf sorted by doc_id, whole groups."""
+    doc = pdf["doc_id"].to_numpy(np.int64)
     h = pdf["hv"].to_numpy(np.int64)
-    bits = (h[:, None] >> np.arange(_SIM_BITS, dtype=np.int64)) & 1
-    votes = (2 * bits - 1).sum(axis=0)
-    fp = int(((votes >= 0).astype(np.int64)
-              << np.arange(_SIM_BITS, dtype=np.int64)).sum())
-    return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])],
-                         "simhash": [fp]})
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    bits = ((h[:, None] >> _BITS_56[None, :]) & 1).astype(np.int32)
+    votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+    fp = ((votes >= 0).astype(np.int64) << _BITS_56[None, :]).sum(axis=1)
+    return pd.DataFrame({"doc_id": doc[starts], "simhash": fp})
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -150,8 +187,8 @@ def simhash(docs: DataFrame) -> DataFrame:
     toks = docs.selectExpr(
         "doc_id", "explode(split(text, ' ')) AS token")
     hv = toks.selectExpr("doc_id", f"{spark_h_sql('token')} AS hv")
-    return hv.groupBy("doc_id").applyInPandas(
-        _simhash_group, "doc_id long, simhash long")
+    return sorted_group_map(hv, "doc_id", _simhash_kernel,
+                            "doc_id long, simhash long")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:

@@ -26,24 +26,43 @@ from ..fixtures import polygon_bbox, polygon_pred_sql
 from ..grid import Grid
 
 
-def point_in_polygon(points: DataFrame, polygons) -> DataFrame:
+def point_in_polygon(points: DataFrame, polygons,
+                     grid: Grid | None = None) -> DataFrame:
     """points: (pid, x, y); polygons: [(poly_id, [(x,y),...])] (convex CCW).
 
     -> (poly_id, pid, x, y): every point inside each polygon (inclusive
-    of edges). One scan per polygon, unioned — Catalyst merges the
-    bbox conjunct into the scan's PushedFilters.
-    """
-    parts = []
+    of edges). ONE scan, cell-indexed: each polygon's bbox expands to
+    its covered grid cells (tiny broadcast table), the join is a
+    broadcast HASH join on the cell id (codegen, no nested loop), and
+    the half-plane conjunction is a JVM-side `forall` over edge structs.
+    At 10^12 points the cell equi-join prunes to the polygons' cells
+    (partition pruning when points are stored cell-partitioned)."""
+    spark = points.sparkSession
+    grid = grid or Grid(8)
+    rows = []
     for poly_id, verts in polygons:
         x0, y0, x1, y1 = polygon_bbox(verts)
-        pred = polygon_pred_sql(verts, "x", "y")
-        parts.append(
-            points.filter(
-                (F.col("x") >= x0) & (F.col("x") <= x1)
-                & (F.col("y") >= y0) & (F.col("y") <= y1))
-            .filter(F.expr(pred))
-            .select(F.lit(int(poly_id)).alias("poly_id"), "pid", "x", "y"))
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        k = len(verts)
+        edges = [(int(verts[j][0]), int(verts[j][1]),
+                  int(verts[(j + 1) % k][0] - verts[j][0]),
+                  int(verts[(j + 1) % k][1] - verts[j][1]))
+                 for j in range(k)]
+        for cell in grid.cells_overlapping_box(x0, y0, x1, y1):
+            rows.append((int(cell), int(poly_id),
+                         int(x0), int(y0), int(x1), int(y1), edges))
+    pdf = spark.createDataFrame(
+        rows, "cell long, poly_id long, px0 long, py0 long, px1 long, "
+              "py1 long, edges array<struct<ax:long, ay:long, dx:long, "
+              "dy:long>>")
+    pts = points.selectExpr("pid", "x", "y",
+                            f"{grid.spark_cell_sql()} AS cell")
+    j = (pts.join(F.broadcast(pdf), "cell")
+         .filter((F.col("x") >= F.col("px0")) & (F.col("x") <= F.col("px1"))
+                 & (F.col("y") >= F.col("py0"))
+                 & (F.col("y") <= F.col("py1"))))
+    inside = F.expr(
+        "forall(edges, e -> e.dx * (y - e.ay) - e.dy * (x - e.ax) >= 0)")
+    return j.filter(inside).select("poly_id", "pid", "x", "y")
 
 
 def polygon_join_sql(table_points_sql: str, polygons) -> str:
