@@ -276,6 +276,89 @@ LEFT JOIN live p
 GROUP BY b.box_id"""
 
 
+# ----------------------------------------- kNN graph + incremental (H7/H10)
+
+KNN_GRAPH_FILTER = f"({points.PID_SQL} % 211 = 3)"  # ~0.5% of nodes
+
+
+def q_knn_graph(spark, sf_dir) -> DataFrame:
+    """H10 generate_knn: k=5 adjacency for a deterministic node sample
+    (full self-kNN graph at sf0.01 would need a 3.6e9-pair oracle; the
+    sampled graph exercises the identical engine path)."""
+    idx = get_index(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_kg_lineitem")
+    q = spark.sql(
+        f"SELECT pid AS qid, x, y FROM "
+        f"(SELECT {points.points_select_sql('uniform')} FROM _kg_lineitem "
+        f"WHERE {KNN_GRAPH_FILTER})")
+    return (knn_join(idx, q, 5)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_knn_graph() -> str:
+    return f"""
+WITH pts AS ({_pts_sql()}),
+q AS (SELECT pid AS qid, x AS qx, y AS qy FROM pts
+      WHERE (qid % 211 = 3)),
+d AS (SELECT q.qid, pts.pid AS nid,
+             (pts.x - q.qx) * (pts.x - q.qx)
+           + (pts.y - q.qy) * (pts.y - q.qy) AS dist_sq
+      FROM q CROSS JOIN pts),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 5"""
+
+
+def q_incremental_build(spark, sf_dir) -> DataFrame:
+    """H7 incrementalBuild: build from slice 0, insert slices 1..9 in
+    chunks, then range count — same truth as a bulk build."""
+    pts = points.load_points(spark, sf_dir, "uniform")
+    idx = SpatialIndex.build(
+        spark, pts.filter("slice = 0").select("pid", "x", "y"),
+        grid=Grid(GRID_G))
+    for t in range(1, 10):
+        idx = idx.update(
+            inserts=pts.filter(f"slice = {t}").select("pid", "x", "y"))
+    return range_count(idx, BOXES_SMALL)
+
+
+def sql_incremental_build() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    return f"""
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN ({_pts_sql()}) p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
+def q_incremental_delete(spark, sf_dir) -> DataFrame:
+    """H7 incrementalDelete: bulk build, then delete slices 0..4 in
+    chunks; final live set = slices 5..9."""
+    pts = points.load_points(spark, sf_dir, "uniform")
+    idx = get_index(spark, sf_dir)
+    for t in range(5):
+        idx = idx.update(
+            deletes=pts.filter(f"slice = {t}").select("pid", "x", "y"))
+    return range_count(idx, BOXES_SMALL)
+
+
+def sql_incremental_delete() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    return f"""
+WITH live AS (SELECT * FROM ({_pts_sql()}) WHERE slice >= 5)
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN live p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
 # ------------------------------------------------------- polygon / raster
 
 def q_point_in_polygon(spark, sf_dir) -> DataFrame:
@@ -312,6 +395,9 @@ QUERIES = {
     "delete_then_count": q_delete_then_count,
     "update_then_knn": q_update_then_knn,
     "sliding_window_count": q_sliding_window_count,
+    "knn_graph": q_knn_graph,
+    "incremental_build": q_incremental_build,
+    "incremental_delete": q_incremental_delete,
     "point_in_polygon": q_point_in_polygon,
     "tile_cells": q_tile_cells,
 }
@@ -331,6 +417,9 @@ ORACLES = {
     "delete_then_count": sql_delete_then_count(),
     "update_then_knn": sql_update_then_knn(),
     "sliding_window_count": sql_sliding_window_count(),
+    "knn_graph": sql_knn_graph(),
+    "incremental_build": sql_incremental_build(),
+    "incremental_delete": sql_incremental_delete(),
     "point_in_polygon": sql_point_in_polygon(),
     "tile_cells": sql_tile_cells(),
 }
