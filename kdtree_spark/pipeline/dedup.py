@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .common import (MINHASH_P, N_PERMS, ROWS_PER_BAND, SIG_BASE,
-                     perm_a_sql, perm_b_sql, sorted_group_map, spark_h_sql)
+                     sorted_group_map, spark_h_sql)
 from .textops import shingle_array_sql
 
 # --------------------------------------------------------------------- exact

@@ -17,8 +17,6 @@ DuckDB oracle's generate_series/unnest.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -117,6 +117,19 @@ def test_doc_fingerprint_matches_python(spark):
     assert out.loc[0, "fp"] == out.loc[1, "fp"]
 
 
+def test_short_docs_shingle_guard(spark):
+    """Docs shorter than the shingle width: Spark's sequence(1, 0) is a
+    DESCENDING [1, 0], so shingle_array_sql guards it; short docs simply
+    contribute no shingles (and a NULL fingerprint)."""
+    docs = _docs_df(spark, ["a b", "one two three four five six"])
+    sh = dedup.doc_shingles(docs, n=3).toPandas()
+    assert set(sh.doc_id) == {1}
+    out = dedup.jaccard_pairs(docs, n=3).toPandas()
+    assert len(out) == 0
+    fp = textops.doc_fingerprint(docs, 5).toPandas().set_index("doc_id")
+    assert pd.isna(fp.loc[0, "fp"]) and not pd.isna(fp.loc[1, "fp"])
+
+
 # ------------------------------------------------------------------- ANN
 
 def _clustered_emb(spark, n_clusters=5, per_cluster=20, dim=64, noise=0.05):
