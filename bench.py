@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_SPATIAL = [
-    "knn_k1", "knn_k10", "knn_k100", "knn_varden",
+    "knn_k1", "knn_k10", "knn_k100", "knn_varden", "knn_k10_d3",
     "range_count", "range_report", "circle_count",
     "insert_then_count", "delete_then_count", "update_then_knn",
     "point_in_polygon", "tile_cells",

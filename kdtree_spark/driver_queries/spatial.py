@@ -276,6 +276,54 @@ LEFT JOIN live p
 GROUP BY b.box_id"""
 
 
+# ------------------------------------------------------------- d=3 (B1/Q1)
+
+def q_knn_k10_d3(spark, sf_dir) -> DataFrame:
+    """3-D kNN: per-cell trees split on (x,y,z) max-stretch; cell grid
+    keys on (x,y) with xy-only pruning (a valid lower bound) — the
+    reference's d=3 configuration (tests/test.cpp:569-617)."""
+    key = (id(spark), sf_dir, "d3")
+    if key not in _INDEX_CACHE:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.createOrReplaceTempView("_d3_lineitem")
+        pts3 = spark.sql(
+            f"SELECT {points.PID_SQL} AS pid, {points.UNIFORM_X_SQL} AS x, "
+            f"{points.UNIFORM_Y_SQL} AS y, {points.UNIFORM_Z_SQL} AS z "
+            f"FROM _d3_lineitem")
+        _INDEX_CACHE[key] = SpatialIndex.build(
+            spark, pts3, grid=Grid(GRID_G), coord_cols=("x", "y", "z"))
+    idx = _INDEX_CACHE[key]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_d3q_lineitem")
+    q = spark.sql(
+        f"SELECT {points.PID_SQL} AS qid, {points.UNIFORM_X_SQL} AS x, "
+        f"{points.UNIFORM_Y_SQL} AS y, {points.UNIFORM_Z_SQL} AS z "
+        f"FROM _d3q_lineitem WHERE {points.QUERY_FILTER_SQL}")
+    return (knn_join(idx, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_knn_k10_d3() -> str:
+    sel = (f"{points.PID_SQL} AS pid, {points.UNIFORM_X_SQL} AS x, "
+           f"{points.UNIFORM_Y_SQL} AS y, {points.UNIFORM_Z_SQL} AS z")
+    return f"""
+WITH pts AS (SELECT {sel} FROM lineitem),
+q AS (SELECT pid AS qid, x AS qx, y AS qy, z AS qz FROM pts
+      WHERE (qid % 101 = 7)),
+d AS (SELECT q.qid, pts.pid AS nid,
+             (pts.x - q.qx) * (pts.x - q.qx)
+           + (pts.y - q.qy) * (pts.y - q.qy)
+           + (pts.z - q.qz) * (pts.z - q.qz) AS dist_sq
+      FROM q CROSS JOIN pts),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
+
+
 # ----------------------------------------- kNN graph + incremental (H7/H10)
 
 KNN_GRAPH_FILTER = f"({points.PID_SQL} % 211 = 3)"  # ~0.5% of nodes
@@ -391,6 +439,7 @@ QUERIES = {
     "knn_k100": q_knn_k100,
     "knn_varden": q_knn_varden,
     "knn_ood": q_knn_ood,
+    "knn_k10_d3": q_knn_k10_d3,
     "insert_then_count": q_insert_then_count,
     "delete_then_count": q_delete_then_count,
     "update_then_knn": q_update_then_knn,
@@ -413,6 +462,7 @@ ORACLES = {
     "knn_k100": _sql_knn(100),
     "knn_varden": _sql_knn(10, dist="varden"),
     "knn_ood": _sql_knn(10, dist="uniform", qdist="varden"),
+    "knn_k10_d3": sql_knn_k10_d3(),
     "insert_then_count": sql_insert_then_count(),
     "delete_then_count": sql_delete_then_count(),
     "update_then_knn": sql_update_then_knn(),

@@ -50,10 +50,14 @@ HOT_CELL_CAP = 131_072  # rows per index blob before salting splits it
 
 
 def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
+    d = tree.pts.shape[1]
     if tree.n_base:
         root = tree.nbox[0]
+        # stats carry the FIRST TWO dims (the grid dims); for d>2 the
+        # xy bbox still lower-bounds every distance, so pruning stays
+        # exact (just looser)
         xmin, ymin = int(root[0]), int(root[1])
-        xmax, ymax = int(root[2]), int(root[3])
+        xmax, ymax = int(root[d]), int(root[d + 1])
     else:
         xmin = ymin = 0
         xmax = ymax = -1
@@ -72,7 +76,9 @@ def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
 def _build_group(pdf: pd.DataFrame) -> pd.DataFrame:
     cell = int(pdf["cell"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
-    pts = pdf[["x", "y"]].to_numpy(np.int64)
+    coord_cols = [c for c in pdf.columns
+                  if c not in ("pid", "cell", "salt")]
+    pts = pdf[coord_cols].to_numpy(np.int64)
     ids = pdf["pid"].to_numpy(np.int64)
     tree = LocalKDTree.build(pts, ids)
     return pd.DataFrame([_tree_row(cell, salt, tree)])
@@ -80,27 +86,36 @@ def _build_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 class SpatialIndex:
     def __init__(self, spark: SparkSession, grid: Grid, df: DataFrame,
-                 manifest: dict | None = None):
+                 manifest: dict | None = None,
+                 coord_cols: tuple = ("x", "y")):
         self.spark = spark
         self.grid = grid
         self.df = df
         self.manifest = manifest or {}
+        self.coord_cols = tuple(coord_cols)
         self._stats_pd: pd.DataFrame | None = None
 
     # ------------------------------------------------------------------ build
     @classmethod
     def build(cls, spark: SparkSession, points: DataFrame,
               grid: Grid | None = None, n_hint: int | None = None,
-              hot_cell_cap: int = HOT_CELL_CAP) -> "SpatialIndex":
-        """points: DataFrame(pid long, x long, y long). Bulk load (B1-B7)."""
+              hot_cell_cap: int = HOT_CELL_CAP,
+              coord_cols: tuple = ("x", "y")) -> "SpatialIndex":
+        """points: DataFrame(pid long, <coord_cols> long). Bulk load
+        (B1-B7). d = len(coord_cols) >= 2; the grid cell (top level)
+        always keys on the first two dims — for d>2 the per-cell trees
+        split on all d (max-stretch), and xy-only cell pruning remains
+        a valid lower bound."""
         t0 = time.time()
         n = n_hint if n_hint is not None else points.count()
         grid = grid or Grid.for_count(n)
         # int32 coords/cell through the shuffle + Arrow hop (coords are
         # < 1e6 and cell < g^2 < 2^31): 1/3 fewer bytes on the hot path
+        cexprs = [f"CAST({c} AS int) AS {c}" for c in coord_cols]
         pts = points.selectExpr(
-            "pid", "CAST(x AS int) AS x", "CAST(y AS int) AS y",
-            f"CAST({grid.spark_cell_sql()} AS int) AS cell")
+            "pid", *cexprs,
+            f"CAST({grid.spark_cell_sql(coord_cols[0], coord_cols[1])} "
+            f"AS int) AS cell")
 
         # salting plan from per-cell counts (the sampled-pivot round's
         # analogue: one cheap agg instead of a sample)
@@ -125,8 +140,9 @@ class SpatialIndex:
         ncells = df.count()  # materialize
         manifest = dict(kind="build", n=n, grid_g=grid.g, cells=ncells,
                         wall_sec=time.time() - t0,
+                        coord_cols=list(coord_cols),
                         version=str(uuid.uuid4())[:8])
-        return cls(spark, grid, df, manifest)
+        return cls(spark, grid, df, manifest, coord_cols=coord_cols)
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> pd.DataFrame:
@@ -143,6 +159,8 @@ class SpatialIndex:
         Untouched cells pass through byte-identical (no deserialize);
         touched cells go log-structured with threshold rebuild.
         """
+        assert self.coord_cols == ("x", "y"), \
+            "batch updates are implemented for 2-D indexes (round 1)"
         t0 = time.time()
         spark = self.spark
         grid = self.grid
@@ -232,7 +250,8 @@ class SpatialIndex:
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
         df = spark.read.parquet(os.path.join(path, "index"))
-        return cls(spark, Grid(int(manifest["grid_g"])), df, manifest)
+        return cls(spark, Grid(int(manifest["grid_g"])), df, manifest,
+                   coord_cols=tuple(manifest.get("coord_cols", ["x", "y"])))
 
     # ------------------------------------------------------------ validation
     def validate(self, expected_n: int | None = None) -> dict:

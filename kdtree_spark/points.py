@@ -42,6 +42,10 @@ VARDEN_X_SQL = (f"GREATEST(0, LEAST(999999, {_VCX_SQL} + "
 VARDEN_Y_SQL = (f"GREATEST(0, LEAST(999999, {_VCY_SQL} + "
                 f"((({PID_SQL} % 999983) % (2 * {_SIG_SQL} + 1)) - {_SIG_SQL})))")
 
+# third dimension for d=3 workloads (the reference tests d in {2,3,5,...},
+# tests/test.cpp:569-617); same multiplicative-scramble family
+UNIFORM_Z_SQL = f"((({PID_SQL} % 999979) * 7907) % 1000000)"
+
 # time-slice label for the sliding-window workload (insertOsmByTime analogue,
 # tests/testFramework.h:818-870): 10 slices keyed off pid
 SLICE_SQL = f"({PID_SQL} % 10)"

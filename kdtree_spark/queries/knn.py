@@ -60,28 +60,34 @@ def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None):
 
 
 def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
-    """queries: (qid long, x long, y long) -> (qid, rank, nid, dist_sq)."""
+    """queries: (qid long, <coord cols> long) -> (qid, rank, nid, dist_sq).
+
+    d >= 2 supported: distances use all coord dims; the cell-level bbox
+    pruning (phase 2) uses only the two grid dims — a lower bound on the
+    full-d distance, so exactness is preserved for any d."""
     spark = index.spark
     grid = index.grid
-    qcell = queries.selectExpr("qid", "x", "y",
-                               f"{grid.spark_cell_sql()} AS cell")
+    cc = list(index.coord_cols)
+    qcell = queries.selectExpr(
+        "qid", *cc, f"{grid.spark_cell_sql(cc[0], cc[1])} AS cell")
+    coord_schema = ", ".join(f"{c} long" for c in cc)
 
     # ---- phase 1: home-cell upper bound
     def home_ub(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0:
-            return pd.DataFrame(columns=["qid", "x", "y", "ub"])
-        out = qpdf[["qid", "x", "y"]].copy()
+            return pd.DataFrame(columns=["qid", *cc, "ub"])
+        out = qpdf[["qid", *cc]].copy()
         if len(ipdf) == 0:
             out["ub"] = np.inf
             return out
-        qpts = qpdf[["x", "y"]].to_numpy(np.int64)
+        qpts = qpdf[cc].to_numpy(np.int64)
         d, _ = _group_knn(qpts, ipdf["blob"], k, None)
         out["ub"] = d[:, k - 1]
         return out
 
     with_ub = (qcell.groupby("cell")
                .cogroup(index.df.groupby("cell"))
-               .applyInPandas(home_ub, "qid long, x long, y long, ub double"))
+               .applyInPandas(home_ub, f"qid long, {coord_schema}, ub double"))
 
     # ---- phase 2: candidate (qid, cell) pairs from broadcast cell stats
     stats = index.stats()
@@ -97,25 +103,27 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qx = pdf["x"].to_numpy(np.int64)
-            qy = pdf["y"].to_numpy(np.int64)
+            qx = pdf[cc[0]].to_numpy(np.int64)
+            qy = pdf[cc[1]].to_numpy(np.int64)
             ub = pdf["ub"].to_numpy(np.float64)
-            mind2 = box_min_dist2(qx, qy, boxes)  # (nq, ncell)
+            mind2 = box_min_dist2(qx, qy, boxes)  # (nq, ncell), xy bound
             # <= (not <): equal-distance candidates matter for id tie-break
             hit_q, hit_c = np.nonzero(mind2 <= ub[:, None])
-            yield pd.DataFrame({
-                "qid": pdf["qid"].to_numpy(np.int64)[hit_q],
-                "x": qx[hit_q], "y": qy[hit_q], "ub": ub[hit_q],
-                "cell": cells[hit_c]})
+            out = {"qid": pdf["qid"].to_numpy(np.int64)[hit_q]}
+            for c in cc:
+                out[c] = pdf[c].to_numpy(np.int64)[hit_q]
+            out["ub"] = ub[hit_q]
+            out["cell"] = cells[hit_c]
+            yield pd.DataFrame(out)
 
     cand = with_ub.mapInPandas(
-        gen_candidates, "qid long, x long, y long, ub double, cell long")
+        gen_candidates, f"qid long, {coord_schema}, ub double, cell long")
 
     # ---- phase 3: per-cell local top-k with ub pruning
     def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["qid", "nid", "dist_sq"])
-        qpts = qpdf[["x", "y"]].to_numpy(np.int64)
+        qpts = qpdf[cc].to_numpy(np.int64)
         ub = qpdf["ub"].to_numpy(np.float64)
         d, i = _group_knn(qpts, ipdf["blob"], k, ub)
         qid = np.repeat(qpdf["qid"].to_numpy(np.int64), k)

@@ -164,3 +164,35 @@ def test_save_load_roundtrip(built, spark, tmp_path):
     a = range_count(idx, boxes).toPandas().sort_values("box_id")
     b = range_count(idx2, boxes).toPandas().sort_values("box_id")
     assert a["cnt"].tolist() == b["cnt"].tolist()
+
+
+def test_knn_d3_vs_bruteforce(spark, sf_dir):
+    """d=3: per-cell trees split on all dims; xy cell pruning stays exact."""
+    import numpy as np
+    from kdtree_spark import points as P
+    from kdtree_spark.grid import Grid
+    from kdtree_spark.index import SpatialIndex
+    from kdtree_spark.queries.knn import knn_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_t3_li")
+    pts3 = spark.sql(
+        f"SELECT {P.PID_SQL} AS pid, {P.UNIFORM_X_SQL} AS x, "
+        f"{P.UNIFORM_Y_SQL} AS y, {P.UNIFORM_Z_SQL} AS z FROM _t3_li")
+    idx = SpatialIndex.build(spark, pts3, grid=Grid(4),
+                             coord_cols=("x", "y", "z"))
+    q = spark.sql(
+        f"SELECT {P.PID_SQL} AS qid, {P.UNIFORM_X_SQL} AS x, "
+        f"{P.UNIFORM_Y_SQL} AS y, {P.UNIFORM_Z_SQL} AS z FROM _t3_li "
+        f"WHERE {P.QUERY_FILTER_SQL}").limit(20)
+    got = (knn_join(idx, q, 5).toPandas()
+           .sort_values(["qid", "rank"]).reset_index(drop=True))
+    allp = pts3.toPandas()
+    m = allp[["x", "y", "z"]].to_numpy(np.int64)
+    ids = allp["pid"].to_numpy(np.int64)
+    for qid, grp in got.groupby("qid"):
+        qrow = allp[allp.pid == qid].iloc[0]
+        d2 = ((m - np.array([qrow.x, qrow.y, qrow.z])) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:5]
+        assert list(grp.nid) == [ids[i] for i in order], qid
+        assert list(grp.dist_sq) == [int(d2[i]) for i in order], qid
