@@ -113,14 +113,16 @@ FROM documents GROUP BY md5(text)"""
 # shared oracle CTE: distinct 3-token shingles per doc
 _SH_CTE = """
 toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-sh AS (SELECT DISTINCT doc_id, s FROM (
+sh AS (SELECT DISTINCT doc_id, hs FROM (
          SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 14))::BIGINT AS hs
+         FROM (SELECT doc_id,
                 unnest(list_transform(generate_series(1, len(tk) - 2),
                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-         FROM toks)),
+               FROM toks))),
 sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
 jac AS (SELECT da, db, i AS inter, x.nsh AS na, y.nsh AS nb
         FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
@@ -137,7 +139,7 @@ SELECT da, db, inter, na, nb FROM jac"""
 
 
 _MINHASH_CTE = f"""
-hm AS (SELECT doc_id, {duck_h_sql('s')} % {MINHASH_P} AS hm FROM sh),
+hm AS (SELECT doc_id, hs % {MINHASH_P} AS hm FROM sh),
 pm AS (SELECT doc_id, i AS perm,
               (CAST({perm_a_sql()} AS BIGINT) * hm + {perm_b_sql()})
               % {MINHASH_P} AS v

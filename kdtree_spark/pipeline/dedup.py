@@ -41,9 +41,16 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # ----------------------------------------------------------- shingle helpers
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, s): DISTINCT n-token shingles per doc."""
-    return (docs.selectExpr("doc_id",
-                            f"explode({shingle_array_sql(n)}) AS s")
+    """(doc_id, hs): DISTINCT 56-bit-hashed n-token shingles per doc.
+
+    All set arithmetic (jaccard, minhash) runs on the int64 hash — an
+    int shuffle key instead of a ~20-char string, identical in the
+    DuckDB oracle; a 2^-56 collision would merge two shingles the same
+    way in both engines."""
+    return (docs.selectExpr(
+                "doc_id",
+                f"explode(transform({shingle_array_sql(n)}, "
+                f"s -> {spark_h_sql('s')})) AS hs")
             .distinct())
 
 
@@ -60,7 +67,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+    inter = (a.join(b, (F.col("a.hs") == F.col("b.hs"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("da"),
                       F.col("b.doc_id").alias("db"))
@@ -114,7 +121,7 @@ def minhash_bands(docs: DataFrame, n: int = 3,
     |shingles| rows once instead of exploding 64x)."""
     if sh is None:
         sh = doc_shingles(docs, n)
-    hm = sh.selectExpr("doc_id", f"{spark_h_sql('s')} % {MINHASH_P} AS hm")
+    hm = sh.selectExpr("doc_id", f"hs % {MINHASH_P} AS hm")
     return sorted_group_map(hm, "doc_id", _minhash_kernel,
                             "doc_id long, band long, sig long")
 
@@ -143,9 +150,9 @@ def minhash_dedup(docs: DataFrame, n: int = 3,
     # the shingle sets of each side — work is O(|cand| * shingles/doc)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     inter = (cand
-             .join(sh.select(F.col("doc_id").alias("da"), "s"), "da")
-             .join(sh.select(F.col("doc_id").alias("db"), "s"),
-                   ["db", "s"])
+             .join(sh.select(F.col("doc_id").alias("da"), "hs"), "da")
+             .join(sh.select(F.col("doc_id").alias("db"), "hs"),
+                   ["db", "hs"])
              .groupBy("da", "db").agg(F.count("*").alias("inter")))
     out = (inter
            .join(sz.select(F.col("doc_id").alias("da"),
