@@ -62,10 +62,13 @@ def q_image_knn(spark, sf_dir) -> DataFrame:
     the value hash)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("_img_docs")
-    pts = spark.sql(
-        f"SELECT doc_id AS pid, {im.CX_SQL} AS x, {im.CY_SQL} AS y "
-        f"FROM _img_docs")
-    idx = SpatialIndex.build(spark, pts, grid=Grid(GRID_G))
+    ikey = (id(spark), sf_dir, "imgidx")
+    if ikey not in _IMG_CACHE:
+        pts = spark.sql(
+            f"SELECT doc_id AS pid, {im.CX_SQL} AS x, {im.CY_SQL} AS y "
+            f"FROM _img_docs")
+        _IMG_CACHE[ikey] = SpatialIndex.build(spark, pts, grid=Grid(GRID_G))
+    idx = _IMG_CACHE[ikey]
     q = spark.sql(
         f"SELECT doc_id AS qid, {im.CX_SQL} AS x, {im.CY_SQL} AS y "
         f"FROM _img_docs WHERE {IMG_QUERY_FILTER}")

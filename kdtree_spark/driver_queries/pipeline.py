@@ -130,11 +130,33 @@ jac AS (SELECT da, db, i AS inter, x.nsh AS na, y.nsh AS nb
 
 
 def q_dedup_ngram(spark, sf_dir):
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_N, 1, 2)
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_N, 1, 2,
+                               df_cap=dedup.DF_CAP)
+
+
+# capped shingle set (df <= DF_CAP) mirrored from jaccard_pairs' skew guard
+_SH_CAP_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, hs FROM (
+         SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 14))::BIGINT AS hs
+         FROM (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(tk) - 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+               FROM toks))),
+hot AS (SELECT hs FROM sh0 GROUP BY hs HAVING count(*) > {dedup.DF_CAP}),
+sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (hs)),
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT da, db, i AS inter, x.nsh AS na, y.nsh AS nb
+        FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        WHERE 2 * i >= (x.nsh + y.nsh - i))"""
 
 
 SQL_DEDUP_NGRAM = f"""
-WITH {_SH_CTE}
+WITH {_SH_CAP_CTE}
 SELECT da, db, inter, na, nb FROM jac"""
 
 

@@ -278,10 +278,7 @@ GROUP BY b.box_id"""
 
 # ------------------------------------------------------------- d=3 (B1/Q1)
 
-def q_knn_k10_d3(spark, sf_dir) -> DataFrame:
-    """3-D kNN: per-cell trees split on (x,y,z) max-stretch; cell grid
-    keys on (x,y) with xy-only pruning (a valid lower bound) — the
-    reference's d=3 configuration (tests/test.cpp:569-617)."""
+def get_index_d3(spark, sf_dir) -> SpatialIndex:
     key = (id(spark), sf_dir, "d3")
     if key not in _INDEX_CACHE:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -292,16 +289,68 @@ def q_knn_k10_d3(spark, sf_dir) -> DataFrame:
             f"FROM _d3_lineitem")
         _INDEX_CACHE[key] = SpatialIndex.build(
             spark, pts3, grid=Grid(GRID_G), coord_cols=("x", "y", "z"))
-    idx = _INDEX_CACHE[key]
+    return _INDEX_CACHE[key]
+
+
+def _d3_query_points(spark, sf_dir) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.createOrReplaceTempView("_d3q_lineitem")
-    q = spark.sql(
+    return spark.sql(
         f"SELECT {points.PID_SQL} AS qid, {points.UNIFORM_X_SQL} AS x, "
         f"{points.UNIFORM_Y_SQL} AS y, {points.UNIFORM_Z_SQL} AS z "
         f"FROM _d3q_lineitem WHERE {points.QUERY_FILTER_SQL}")
+
+
+def q_knn_k10_d3(spark, sf_dir) -> DataFrame:
+    """3-D kNN: per-cell trees split on (x,y,z) max-stretch; cell grid
+    keys on (x,y) with xy-only pruning (a valid lower bound) — the
+    reference's d=3 configuration (tests/test.cpp:569-617)."""
+    idx = get_index_d3(spark, sf_dir)
+    q = _d3_query_points(spark, sf_dir)
     return (knn_join(idx, q, 10)
             .select("qid", F.col("rank").cast("long").alias("rank"),
                     "nid", "dist_sq"))
+
+
+def q_update_then_knn_d3(spark, sf_dir) -> DataFrame:
+    """Dimension-generic batch update (I1+D1 at d=3; the reference's
+    batch ops are dim-templated, batch_insert.hpp:60-191) -> kNN k=10."""
+    idx = get_index_d3(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_u3_lineitem")
+    ins = spark.sql(points.insert_batch_d3_sql("_u3_lineitem"))
+    dele = spark.sql(points.delete_batch_d3_sql("_u3_lineitem"))
+    idx2 = idx.update(inserts=ins, deletes=dele)
+    q = _d3_query_points(spark, sf_dir)
+    return (knn_join(idx2, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_update_then_knn_d3() -> str:
+    sel = (f"{points.PID_SQL} AS pid, {points.UNIFORM_X_SQL} AS x, "
+           f"{points.UNIFORM_Y_SQL} AS y, {points.UNIFORM_Z_SQL} AS z")
+    return f"""
+WITH live AS (
+  SELECT pid, x, y, z FROM (SELECT {sel} FROM lineitem)
+  WHERE pid NOT IN (SELECT pid FROM ({points.delete_batch_d3_sql('lineitem')}))
+  UNION ALL
+  SELECT pid, x, y, z FROM ({points.insert_batch_d3_sql('lineitem')})
+),
+q AS (SELECT pid AS qid, x AS qx, y AS qy, z AS qz
+      FROM (SELECT {sel} FROM lineitem)
+      WHERE (pid % 101 = 7)),
+d AS (SELECT q.qid, live.pid AS nid,
+             (live.x - q.qx) * (live.x - q.qx)
+           + (live.y - q.qy) * (live.y - q.qy)
+           + (live.z - q.qz) * (live.z - q.qz) AS dist_sq
+      FROM q CROSS JOIN live),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
 
 
 def sql_knn_k10_d3() -> str:
@@ -407,6 +456,181 @@ LEFT JOIN live p
 GROUP BY b.box_id"""
 
 
+# ----------------------------------------- H2 ratio sweep / H9 interleaved
+
+def q_insert_ratio_sweep(spark, sf_dir) -> DataFrame:
+    """H2: cumulative insert legs at ratios ~{1e-4,1e-3,1e-2,0.1}
+    (tests/test.cpp:55-72); after each leg, range counts over the
+    fixture boxes tagged with the leg number."""
+    idx = get_index(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_sw_lineitem")
+    outs = []
+    for step in range(1, len(points.SWEEP_LEGS) + 1):
+        ins = spark.sql(points.sweep_insert_sql("_sw_lineitem", step))
+        idx = idx.update(inserts=ins)
+        outs.append(range_count(idx, BOXES_SMALL)
+                    .withColumn("step", F.lit(step).cast("long")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_insert_ratio_sweep() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    legs = []
+    for step in range(1, len(points.SWEEP_LEGS) + 1):
+        ins_union = "\n  UNION ALL\n  ".join(
+            f"SELECT pid, x, y FROM ({points.sweep_insert_sql('lineitem', s)})"
+            for s in range(1, step + 1))
+        legs.append(f"""
+SELECT CAST({step} AS BIGINT) AS step, b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN (
+  SELECT pid, x, y FROM ({_pts_sql()})
+  UNION ALL
+  {ins_union}
+) p ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id""")
+
+    return "\nUNION ALL\n".join(legs)
+
+
+def q_delete_ratio_sweep(spark, sf_dir) -> DataFrame:
+    """H2: cumulative delete legs at the same ratios (overlapping moduli;
+    repeated deletes of an id are ignored — partial-cover semantics,
+    batch_delete.hpp:95-107)."""
+    idx = get_index(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_sw_lineitem")
+    outs = []
+    for step in range(1, len(points.SWEEP_LEGS) + 1):
+        dele = spark.sql(points.sweep_delete_sql("_sw_lineitem", step))
+        idx = idx.update(deletes=dele)
+        outs.append(range_count(idx, BOXES_SMALL)
+                    .withColumn("step", F.lit(step).cast("long")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_delete_ratio_sweep() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    legs = []
+    for step in range(1, len(points.SWEEP_LEGS) + 1):
+        # pid IS the shared PID_SQL value, so moduli apply to it directly
+        conds = " OR ".join(f"(pid % {m} = {r})"
+                            for m, r in points.SWEEP_LEGS[:step])
+        legs.append(f"""
+SELECT CAST({step} AS BIGINT) AS step, b.box_id, count(q.pid) AS cnt
+FROM {vals}
+LEFT JOIN (SELECT pid, x, y FROM ({_pts_sql()}) WHERE NOT ({conds})) q
+  ON q.x BETWEEN b.bxlo AND b.bxhi AND q.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id""")
+    return "\nUNION ALL\n".join(legs)
+
+
+def q_incr_build_and_query(spark, sf_dir) -> DataFrame:
+    """H9 incrementalBuildAndQuery (testFramework.h:873-929): build from
+    slice 0, insert slices 1..9 in chunks, probing k=1 kNN on a fixed
+    query set after slices 3, 6, 9."""
+    pts = points.load_points(spark, sf_dir, "uniform")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_h9_lineitem")
+    probe = spark.sql(
+        f"SELECT pid AS qid, x, y FROM "
+        f"(SELECT {points.points_select_sql('uniform')} FROM _h9_lineitem "
+        f"WHERE {points.PROBE_FILTER_SQL})")
+    idx = SpatialIndex.build(
+        spark, pts.filter("slice = 0").select("pid", "x", "y"),
+        grid=Grid(GRID_G))
+    outs = []
+    for t in range(1, 10):
+        idx = idx.update(
+            inserts=pts.filter(f"slice = {t}").select("pid", "x", "y"))
+        if t % 3 == 0:
+            outs.append(
+                knn_join(idx, probe, 1)
+                .select(F.lit(t).cast("long").alias("step"), "qid",
+                        F.col("rank").cast("long").alias("rank"),
+                        "nid", "dist_sq"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_incr_build_and_query() -> str:
+    legs = []
+    for t in (3, 6, 9):
+        legs.append(f"""
+SELECT CAST({t} AS BIGINT) AS step, qid, CAST(rank AS BIGINT) AS rank,
+       nid, dist_sq
+FROM (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM (SELECT q.qid, p.pid AS nid,
+                   (p.x - q.x) * (p.x - q.x)
+                 + (p.y - q.y) * (p.y - q.y) AS dist_sq
+            FROM (SELECT pid AS qid, x, y FROM ({_pts_sql()})
+                  WHERE (pid % 1009 = 7)) q
+            CROSS JOIN (SELECT pid, x, y FROM ({_pts_sql()})
+                        WHERE slice <= {t}) p))
+WHERE rank <= 1""")
+    return "\nUNION ALL\n".join(legs)
+
+
+# ------------------------------------------------------------- d=5 (B1/Q1)
+
+def get_index_d5(spark, sf_dir) -> SpatialIndex:
+    key = (id(spark), sf_dir, "d5")
+    if key not in _INDEX_CACHE:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.createOrReplaceTempView("_d5_lineitem")
+        pts5 = spark.sql(
+            f"SELECT {points.d5_select_sql()} FROM _d5_lineitem")
+        _INDEX_CACHE[key] = SpatialIndex.build(
+            spark, pts5, grid=Grid(GRID_G), coord_cols=points.D5_COLS)
+    return _INDEX_CACHE[key]
+
+
+def q_knn_k10_d5(spark, sf_dir) -> DataFrame:
+    """d=5 configuration (tests/test.cpp:584): per-cell trees split all
+    5 dims; xy-only cell pruning degrades with d (measured in bench via
+    knn_candidates cells-per-query) but stays exact."""
+    idx = get_index_d5(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_d5q_lineitem")
+    q = spark.sql(
+        f"SELECT {points.d5_select_sql('qid')} FROM _d5q_lineitem "
+        f"WHERE {points.QUERY_FILTER_SQL}")
+    return (knn_join(idx, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_knn_k10_d5() -> str:
+    return f"""
+WITH pts AS (SELECT {points.d5_select_sql()} FROM lineitem),
+q AS (SELECT pid AS qid, x AS qx, y AS qy, z AS qz, w AS qw, v AS qv
+      FROM pts WHERE (qid % 101 = 7)),
+d AS (SELECT q.qid, pts.pid AS nid,
+             (pts.x - q.qx) * (pts.x - q.qx)
+           + (pts.y - q.qy) * (pts.y - q.qy)
+           + (pts.z - q.qz) * (pts.z - q.qz)
+           + (pts.w - q.qw) * (pts.w - q.qw)
+           + (pts.v - q.qv) * (pts.v - q.qv) AS dist_sq
+      FROM q CROSS JOIN pts),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
+
+
 # ------------------------------------------------------- polygon / raster
 
 def q_point_in_polygon(spark, sf_dir) -> DataFrame:
@@ -443,6 +667,11 @@ QUERIES = {
     "insert_then_count": q_insert_then_count,
     "delete_then_count": q_delete_then_count,
     "update_then_knn": q_update_then_knn,
+    "update_then_knn_d3": q_update_then_knn_d3,
+    "insert_ratio_sweep": q_insert_ratio_sweep,
+    "delete_ratio_sweep": q_delete_ratio_sweep,
+    "incr_build_and_query": q_incr_build_and_query,
+    "knn_k10_d5": q_knn_k10_d5,
     "sliding_window_count": q_sliding_window_count,
     "knn_graph": q_knn_graph,
     "incremental_build": q_incremental_build,
@@ -466,6 +695,11 @@ ORACLES = {
     "insert_then_count": sql_insert_then_count(),
     "delete_then_count": sql_delete_then_count(),
     "update_then_knn": sql_update_then_knn(),
+    "update_then_knn_d3": sql_update_then_knn_d3(),
+    "insert_ratio_sweep": sql_insert_ratio_sweep(),
+    "delete_ratio_sweep": sql_delete_ratio_sweep(),
+    "incr_build_and_query": sql_incr_build_and_query(),
+    "knn_k10_d5": sql_knn_k10_d5(),
     "sliding_window_count": sql_sliding_window_count(),
     "knn_graph": sql_knn_graph(),
     "incremental_build": sql_incremental_build(),

@@ -193,26 +193,10 @@ def resize_images(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
 
 
 def phash_pairs(images: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """Near-duplicate images by phash Hamming distance <= 7, banded into
-    8 blocks of 8 bits (pigeonhole => lossless candidates, like
-    pipeline.dedup.simhash_pairs). Output (ia, ib, hamming)."""
-    from pyspark.sql import functions as F
-    blocks = images.select(
-        "image_id", "phash",
-        F.explode(F.array(*[
-            (F.lit(j * 256)
-             + F.shiftright("phash", j * 8).bitwiseAND(F.lit(0xFF)))
-            for j in range(8)])).alias("blk"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.image_id") < F.col("b.image_id")))
-            .select(F.col("a.image_id").alias("ia"),
-                    F.col("a.phash").alias("pa"),
-                    F.col("b.image_id").alias("ib"),
-                    F.col("b.phash").alias("pb"))
-            .distinct())
-    return (cand.withColumn("hamming",
-                            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("ia", "ib",
-                    F.col("hamming").cast("long").alias("hamming")))
+    """Near-duplicate images by phash Hamming distance <= 7 via the
+    multi-index join (4 x 16-bit superblocks + single-bit-flip probes,
+    pipeline.dedup.hamming_pairs) — lossless by pigeonhole, verified by
+    exact popcount. Output (ia, ib, hamming)."""
+    from .pipeline.dedup import hamming_pairs
+    return hamming_pairs(images.select("image_id", "phash"),
+                         "image_id", "phash", 64, max_hamming, "ia", "ib")

@@ -94,6 +94,7 @@ class SpatialIndex:
         self.manifest = manifest or {}
         self.coord_cols = tuple(coord_cols)
         self._stats_pd: pd.DataFrame | None = None
+        self._cell_stats: DataFrame | None = None
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -146,33 +147,66 @@ class SpatialIndex:
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> pd.DataFrame:
-        """Per-blob stats (no blobs) — the pruning metadata. Cached."""
+        """Per-blob stats (no blobs) as driver pandas — DIAGNOSTIC ONLY
+        (validate()); O(cells) driver memory. Query pruning uses
+        cell_stats() instead, which never leaves the cluster."""
         if self._stats_pd is None:
             self._stats_pd = self.df.select(*STATS_COLS).toPandas()
         return self._stats_pd
 
+    def cell_stats(self) -> DataFrame:
+        """Per-cell union bbox + live count, as a cached DataFrame —
+        the pruning metadata for kNN phase 2 and range partition-pruning.
+        Stays Spark-side: at 1.2e8 cells (the Grid.for_count projection
+        for 1e12 rows) this is a few-GB cluster-resident table joined on
+        `cell`, never a driver collect."""
+        if self._cell_stats is None:
+            agg = (self.df.filter(F.col("cnt") > 0)
+                   .groupBy("cell")
+                   .agg(F.min("xmin").alias("xmin"),
+                        F.min("ymin").alias("ymin"),
+                        F.max("xmax").alias("xmax"),
+                        F.max("ymax").alias("ymax"),
+                        F.sum("cnt").alias("ccnt")))
+            # re-alias every column: fresh expression ids, so queries can
+            # join/cogroup stats-derived frames against index.df without
+            # tripping the ambiguous-self-join analyzer check
+            self._cell_stats = agg.select(
+                *[F.col(c).alias(c) for c in agg.columns]).cache()
+        return self._cell_stats
+
     # ---------------------------------------------------------------- updates
     def update(self, inserts: DataFrame | None = None,
                deletes: DataFrame | None = None) -> "SpatialIndex":
-        """Batch insert/delete (I1, D1/D2). Both args: (pid, x, y).
+        """Batch insert/delete (I1, D1/D2). Both args: (pid, <coord_cols>).
 
-        Untouched cells pass through byte-identical (no deserialize);
-        touched cells go log-structured with threshold rebuild.
+        Physical plan (the reference rebuilds only tagged subtrees,
+        `inner_tree.hpp:78-95`; the distributed analogue is touching only
+        updated cells): the distinct touched cells are broadcast; the
+        index side is split with a broadcast semi/anti join so ONLY
+        touched blobs enter the Python cogroup — untouched blobs are
+        neither shuffled nor deserialized, and a 0.01% batch pays
+        O(batch), not O(index). Touched cells go log-structured with
+        threshold rebuild. (For batches touching a large fraction of a
+        huge grid, the broadcast of touched-cell ids grows with the
+        batch, never with the index — at that ratio a rebuild is the
+        honest competitor anyway.)
+
+        Dimension-generic: works for any d = len(coord_cols) >= 2, same
+        as the reference's dim-templated batch ops (`batch_insert.hpp:
+        60-191`, `batch_delete.hpp:75-107`).
         """
-        assert self.coord_cols == ("x", "y"), \
-            "batch updates are implemented for 2-D indexes (round 1)"
         t0 = time.time()
-        spark = self.spark
         grid = self.grid
+        cc = list(self.coord_cols)
+        cell_sql = grid.spark_cell_sql(cc[0], cc[1])
         parts = []
         if inserts is not None:
             parts.append(inserts.selectExpr(
-                "pid", "x", "y", f"{grid.spark_cell_sql()} AS cell",
-                "CAST(1 AS int) AS op"))
+                "pid", *cc, f"{cell_sql} AS cell", "CAST(1 AS int) AS op"))
         if deletes is not None:
             parts.append(deletes.selectExpr(
-                "pid", "x", "y", f"{grid.spark_cell_sql()} AS cell",
-                "CAST(0 AS int) AS op"))
+                "pid", *cc, f"{cell_sql} AS cell", "CAST(0 AS int) AS op"))
         if not parts:
             return self
         ups = parts[0]
@@ -183,7 +217,7 @@ class SpatialIndex:
                           ) -> pd.DataFrame:
             cell = int(key[0])
             if len(updf) == 0:
-                return idxdf  # passthrough, blobs untouched
+                return idxdf  # passthrough (unreachable post-semi-join)
             ins = updf[updf["op"] == 1]
             del_ = updf[updf["op"] == 0]
             out = []
@@ -191,14 +225,14 @@ class SpatialIndex:
                 # brand-new cell: build from inserts alone
                 if len(ins):
                     tree = LocalKDTree.build(
-                        ins[["x", "y"]].to_numpy(np.int64),
+                        ins[cc].to_numpy(np.int64),
                         ins["pid"].to_numpy(np.int64))
                     out.append(_tree_row(cell, 0, tree))
                 return pd.DataFrame(out) if out else idxdf.iloc[0:0]
             nsalt = len(idxdf)
-            ins_pts = ins[["x", "y"]].to_numpy(np.int64)
+            ins_pts = ins[cc].to_numpy(np.int64)
             ins_ids = ins["pid"].to_numpy(np.int64)
-            del_pts = del_[["x", "y"]].to_numpy(np.int64)
+            del_pts = del_[cc].to_numpy(np.int64)
             del_ids = del_["pid"].to_numpy(np.int64)
             ins_salt = (ins_ids % nsalt) if nsalt > 1 else np.zeros(
                 len(ins_ids), np.int64)
@@ -214,26 +248,50 @@ class SpatialIndex:
                 out.append(_tree_row(cell, int(row["salt"]), t2))
             return pd.DataFrame(out)
 
-        new_df = (ups.groupby("cell")
-                  .cogroup(self.df.groupby("cell"))
-                  .applyInPandas(apply_updates, INDEX_SCHEMA)
-                  .repartition("cell").cache())
+        touched = ups.select("cell").distinct()
+        touched_blobs = self.df.join(F.broadcast(touched), "cell", "semi")
+        untouched = self.df.join(F.broadcast(touched), "cell", "left_anti")
+        new_blobs = (ups.groupby("cell")
+                     .cogroup(touched_blobs.groupby("cell"))
+                     .applyInPandas(apply_updates, INDEX_SCHEMA))
+        # union, NOT repartition: the untouched blobs stay where the cached
+        # parent put them; each downstream query pays one blob-side shuffle,
+        # which is what the old always-repartition plan cost anyway.
+        # localCheckpoint truncates the logical plan: the parent appears
+        # TWICE in this lineage (semi + anti), so without truncation each
+        # chained update doubles the plan -> exponential analyzer cost.
+        # Eager materialization doubles as the version's durability point
+        # (the manifest records the lineage for the checkpoint story).
+        new_df = new_blobs.unionByName(untouched).localCheckpoint(eager=True)
         ncells = new_df.count()
         manifest = dict(kind="update", base_version=self.manifest.get("version"),
                         cells=ncells, wall_sec=time.time() - t0,
-                        version=str(uuid.uuid4())[:8])
-        return SpatialIndex(self.spark, grid, new_df, manifest)
+                        coord_cols=cc, version=str(uuid.uuid4())[:8])
+        return SpatialIndex(self.spark, grid, new_df, manifest,
+                            coord_cols=self.coord_cols)
+
+    def unpersist(self) -> None:
+        """Release this version's cached blob table (streaming indexers
+        call this on superseded versions to bound executor storage)."""
+        try:
+            self.df.unpersist()
+            if self._cell_stats is not None:
+                self._cell_stats.unpersist()
+        except Exception:
+            pass
 
     # -------------------------------------------------------------- persist
     def save(self, path: str) -> str:
         """Write-audit-publish: parquet + manifest, atomic rename."""
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         self.df.write.mode("overwrite").parquet(os.path.join(tmp, "index"))
-        stats = self.stats()
+        # audit metrics via one Spark agg (no O(cells) driver collect)
+        row = self.df.agg(F.sum("cnt").alias("t"), F.count("*").alias("c"),
+                          F.max("depth").alias("d")).collect()[0]
         audit = dict(self.manifest)
-        audit["total_rows"] = int(stats["cnt"].sum())
-        audit["cells"] = int(len(stats))
-        audit["max_depth"] = int(stats["depth"].max()) if len(stats) else 0
+        audit["total_rows"] = int(row["t"] or 0)
+        audit["cells"] = int(row["c"])
+        audit["max_depth"] = int(row["d"] or 0)
         audit["grid_g"] = self.grid.g
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(audit, f, indent=1)

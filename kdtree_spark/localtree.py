@@ -248,7 +248,9 @@ class LocalKDTree:
                 t.extra_pts, t.extra_ids = t.extra_pts[~kill], t.extra_ids[~kill]
             rest = del_ids[~in_extra]
             rest_pts = del_pts[~in_extra]
-            present = np.isin(rest, t.ids)
+            # ignore ids already tombstoned (overlapping delete batches,
+            # e.g. the H2 ratio sweep's nested modulus filters)
+            present = np.isin(rest, t.ids) & ~np.isin(rest, t.tomb_ids)
             t.tomb_pts = np.concatenate([t.tomb_pts, rest_pts[present]])
             t.tomb_ids = np.concatenate([t.tomb_ids, rest[present]])
         if t.needs_rebuild():

@@ -7,19 +7,29 @@ Spark result is bit-identical to the DuckDB oracle and the ordering is
 deterministic.
 
 Operators:
-- cosine_topk:     exact brute-force top-k — base vectors stream through
-                   mapInPandas (Arrow batches, numpy int64 matmul)
-                   against a broadcast query matrix; each batch emits
-                   only its local top-k per query; a global window
-                   finishes the reduction. No all-pairs materialization:
-                   shuffle volume is O(#queries · k · #batches).
-- neardup_pairs:   all-pairs cosine >= tau over the table, blockwise
-                   against a broadcast of the (small) comparison side.
+- cosine_topk:     exact brute-force top-k, fully Spark-side: the query
+                   set is replicated across base blocks with a crossJoin
+                   (never collected to the driver); each (query-set x
+                   base-block) cogroup does one numpy int64 matmul and
+                   emits a tie-safe local top-k per query; a global
+                   window finishes the reduction. Shuffle volume is
+                   O(#queries · #blocks + #queries · k · #blocks).
+- neardup_pairs:   all pairs with cosine >= tau via blockwise block-pair
+                   cogroups — O(n²) compute by definition, but distributed
+                   with no driver materialization. srp buckets are the
+                   sub-quadratic scale path.
 - srp_topk:        sign-random-projection LSH variant — the scale path:
                    candidates share an n-bit hyperplane-sign bucket
                    (multi-probe within Hamming 1), then exact re-rank.
                    Approximate by design -> rows-only driver check +
                    recall test in pytest.
+
+Tie-safety: every local top-k selection sorts by cosine desc with a
+STABLE sort over nid-ascending rows, so candidates tied at the boundary
+are kept in exactly the global (cos desc, nid asc) order — no tied
+candidate that could reach the global top-k is ever dropped. Norm
+products are computed in float64 (na·nb can exceed int64), with the
+identical correctly-rounded result as the SQL double path.
 """
 
 from __future__ import annotations
@@ -32,22 +42,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .common import QUANT
+from .common import spark_quant_sql
 
-_CAND_SCHEMA = "qid long, nid long, dot long, nb long"
+BLOCK_ROWS = 4096  # target base rows per matmul block
 
 
 def _quantize(col: pd.Series) -> np.ndarray:
+    from .common import QUANT
     m = np.stack(col.to_numpy())
     return np.floor(m.astype(np.float64) * QUANT).astype(np.int64)
 
 
-def _collect_queries(emb: DataFrame, query_filter: str):
-    qpd = (emb.filter(query_filter).select("vec_id", "embedding")
-           .toPandas().sort_values("vec_id"))
-    qids = qpd["vec_id"].to_numpy(np.int64)
-    qm = _quantize(qpd["embedding"])
-    return qids, qm
+def _norm_sql(v: str = "qv") -> str:
+    # sum of squares of the quantized vector: exact int64 (|q|<=10000,
+    # 64 dims -> <= 6.4e9)
+    return f"aggregate({v}, 0L, (a, e) -> a + e * e)"
+
+
+def _quant_df(emb: DataFrame, id_alias: str) -> DataFrame:
+    """(id, qv array<long>, nrm long) — quantization + norms in SQL."""
+    return emb.selectExpr(
+        f"vec_id AS {id_alias}",
+        f"{spark_quant_sql('embedding')} AS qv").selectExpr(
+        id_alias, "qv", f"{_norm_sql('qv')} AS nrm")
+
+
+def _nblocks(emb: DataFrame) -> int:
+    return max(1, int(np.ceil(emb.count() / BLOCK_ROWS)))
 
 
 def _cosine_order(df: DataFrame, nq_sq: DataFrame) -> DataFrame:
@@ -62,45 +83,64 @@ def _cosine_order(df: DataFrame, nq_sq: DataFrame) -> DataFrame:
     return d.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
-def _query_norms(spark, qids: np.ndarray, qm: np.ndarray) -> DataFrame:
-    na = (qm * qm).sum(axis=1)
-    pdf = pd.DataFrame({"qid": qids, "na": na})
-    return F.broadcast(spark.createDataFrame(pdf, "qid long, na long"))
-
-
 def cosine_topk(emb: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
     """Exact cosine top-k (excluding self): (qid, nid, dot, na, nb,
-    cos, rank), rank <= k."""
+    cos, rank), rank <= k.
+
+    Physical plan: base vectors are split into ~BLOCK_ROWS blocks by
+    pmod(vec_id); the query set (with quantized vectors + norms, all
+    SQL-derived) is replicated to every block via crossJoin — a shuffle,
+    not a driver collect, so the query side can be any fraction of the
+    table. Each cogroup emits a tie-safe local top-(k+1); the global
+    window keeps the exact (cos desc, nid asc) top-k."""
     spark = emb.sparkSession
-    qids, qm = _collect_queries(emb, query_filter)
-    bc = spark.sparkContext.broadcast((qids, qm))
+    nb_blocks = _nblocks(emb)
+    base = (_quant_df(emb, "nid")
+            .withColumn("bb", F.pmod(F.col("nid"), F.lit(nb_blocks))))
+    q = (_quant_df(emb.filter(query_filter), "qid")
+         .withColumnRenamed("qv", "q_qv")
+         .withColumnRenamed("nrm", "na"))
+    qrep = q.crossJoin(
+        spark.range(nb_blocks).select(F.col("id").alias("bb")))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bqids, bqm = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            bm = _quantize(pdf["embedding"])
-            nids = pdf["vec_id"].to_numpy(np.int64)
-            dots = bm @ bqm.T                      # exact int64
-            nb = (bm * bm).sum(axis=1)
-            # local top-k per query within this Arrow batch
-            kk = min(k + 1, len(nids))             # +1 to survive self-drop
-            cos = dots / np.sqrt(np.outer(nb, (bqm * bqm).sum(axis=1)))
-            top = np.argpartition(-cos, kk - 1, axis=0)[:kk]
-            rows = {"qid": [], "nid": [], "dot": [], "nb": []}
-            for j in range(len(bqids)):
-                sel = top[:, j]
-                rows["qid"].extend([bqids[j]] * len(sel))
-                rows["nid"].extend(nids[sel])
-                rows["dot"].extend(dots[sel, j])
-                rows["nb"].extend(nb[sel])
-            yield pd.DataFrame(rows)
+    def block_topk(key, qpdf: pd.DataFrame, bpdf: pd.DataFrame
+                   ) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(bpdf) == 0:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype=np.int64),
+                 "nid": pd.Series(dtype=np.int64),
+                 "dot": pd.Series(dtype=np.int64),
+                 "nb": pd.Series(dtype=np.int64)})
+        bpdf = bpdf.sort_values("nid")  # stable-sort tie-break order
+        bm = np.stack(bpdf["qv"].to_numpy()).astype(np.int64)
+        nids = bpdf["nid"].to_numpy(np.int64)
+        nbn = bpdf["nrm"].to_numpy(np.int64)
+        qm = np.stack(qpdf["q_qv"].to_numpy()).astype(np.int64)
+        qids = qpdf["qid"].to_numpy(np.int64)
+        qn = qpdf["na"].to_numpy(np.int64)
+        dots = bm @ qm.T                              # exact int64
+        # float64 BEFORE the product: na*nb can exceed int64; the double
+        # multiply/sqrt/divide chain is bit-identical to the SQL path
+        cos = dots / np.sqrt(np.outer(nbn.astype(np.float64),
+                                      qn.astype(np.float64)))
+        kk = min(k + 1, len(nids))                    # +1 survives self-drop
+        out = {"qid": [], "nid": [], "dot": [], "nb": []}
+        for j in range(len(qids)):
+            # stable sort over nid-ascending rows: ties at the kk boundary
+            # keep the smallest nids — the global tie-break order
+            sel = np.argsort(-cos[:, j], kind="stable")[:kk]
+            out["qid"].append(np.full(len(sel), qids[j], np.int64))
+            out["nid"].append(nids[sel])
+            out["dot"].append(dots[sel, j])
+            out["nb"].append(nbn[sel])
+        return pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
 
-    cand = (emb.select("vec_id", "embedding")
-            .mapInPandas(scan, _CAND_SCHEMA)
+    cand = (qrep.groupby("bb")
+            .cogroup(base.groupby("bb"))
+            .applyInPandas(block_topk, "qid long, nid long, dot long, nb long")
             .filter(F.col("qid") != F.col("nid")))
-    ranked = _cosine_order(cand, _query_norms(spark, qids, qm))
+    na_df = q.select("qid", "na")
+    ranked = _cosine_order(cand, na_df)
     return (ranked.filter(F.col("rank") <= k)
             .select("qid", "nid", "dot", "na", "nb", "cos", "rank"))
 
@@ -108,31 +148,61 @@ def cosine_topk(emb: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
 def neardup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
     """All pairs (a < b) with cosine >= tau: (da, db, dot, na, nb, cos).
 
-    The comparison side is broadcast as a numpy matrix; each Arrow batch
-    does one int64 matmul against it. For corpora where neither side fits
-    an executor, srp_topk's bucketed join is the scale path.
+    Blockwise block-pair plan: vectors go to NB blocks by pmod(vec_id);
+    a small (NB·(NB+1)/2)-row block-pair table replicates each block to
+    its pairs; each cogroup does one numpy matmul between two blocks.
+    Replication is NB rows per vector — no driver collect, no broadcast
+    of the table. Exact all-pairs is inherently O(n²) compute; the
+    srp_buckets join is the sub-quadratic scale path.
     """
     spark = emb.sparkSession
-    qids, qm = _collect_queries(emb, "true")
-    bc = spark.sparkContext.broadcast((qids, qm, (qm * qm).sum(axis=1)))
+    nb_blocks = _nblocks(emb)
+    v = _quant_df(emb, "vid").withColumn(
+        "blk", F.pmod(F.col("vid"), F.lit(nb_blocks)))
+    pairs = spark.createDataFrame(
+        [(i * nb_blocks + j, i, j)
+         for i in range(nb_blocks) for j in range(i, nb_blocks)],
+        "pr long, ba long, bb long")
+    va, pa = v.alias("va"), pairs.alias("pa")
+    left = va.join(F.broadcast(pa), F.col("va.blk") == F.col("pa.ba")).select(
+        F.col("pa.pr").alias("pr"), F.col("pa.ba").alias("ba"),
+        F.col("pa.bb").alias("bb"), F.col("va.vid").alias("vid"),
+        F.col("va.qv").alias("qv"), F.col("va.nrm").alias("nrm"))
+    vb, pb = v.alias("vb"), pairs.alias("pb")
+    right = vb.join(F.broadcast(pb), F.col("vb.blk") == F.col("pb.bb")).select(
+        F.col("pb.pr").alias("pr"), F.col("vb.vid").alias("vid"),
+        F.col("vb.qv").alias("qv"), F.col("vb.nrm").alias("nrm"))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bqids, bqm, bqn = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            bm = _quantize(pdf["embedding"])
-            nids = pdf["vec_id"].to_numpy(np.int64)
-            dots = bm @ bqm.T
-            nb = (bm * bm).sum(axis=1)
-            cos = dots / np.sqrt(np.outer(nb, bqn))
-            ii, jj = np.nonzero((cos >= tau) & (nids[:, None] < bqids[None, :]))
-            yield pd.DataFrame({"da": nids[ii], "db": bqids[jj],
-                                "dot": dots[ii, jj], "na": nb[ii],
-                                "nb": bqn[jj]})
+    def block_pairs(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame
+                    ) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in ("da", "db", "dot", "na", "nb")})
+        lm = np.stack(lpdf["qv"].to_numpy()).astype(np.int64)
+        rm = np.stack(rpdf["qv"].to_numpy()).astype(np.int64)
+        lid = lpdf["vid"].to_numpy(np.int64)
+        rid = rpdf["vid"].to_numpy(np.int64)
+        ln = lpdf["nrm"].to_numpy(np.int64)
+        rn = rpdf["nrm"].to_numpy(np.int64)
+        dots = lm @ rm.T
+        cos = dots / np.sqrt(np.outer(ln.astype(np.float64),
+                                      rn.astype(np.float64)))
+        mask = cos >= tau
+        same = int(lpdf["ba"].iloc[0]) == int(lpdf["bb"].iloc[0])
+        if same:
+            mask &= lid[:, None] < rid[None, :]
+        ii, jj = np.nonzero(mask)
+        da = np.minimum(lid[ii], rid[jj])
+        db = np.maximum(lid[ii], rid[jj])
+        return pd.DataFrame({"da": da, "db": db, "dot": dots[ii, jj],
+                             "na": np.where(lid[ii] < rid[jj], ln[ii], rn[jj]),
+                             "nb": np.where(lid[ii] < rid[jj], rn[jj], ln[ii])})
 
-    out = emb.select("vec_id", "embedding").mapInPandas(
-        scan, "da long, db long, dot long, na long, nb long")
+    out = (left.groupby("pr")
+           .cogroup(right.groupby("pr"))
+           .applyInPandas(block_pairs,
+                          "da long, db long, dot long, na long, nb long"))
     return out.withColumn(
         "cos",
         F.col("dot").cast("double")

@@ -54,16 +54,32 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             .distinct())
 
 
+DF_CAP = 12  # max shingle document frequency for the jaccard join
+
+
 def jaccard_pairs(docs: DataFrame, n: int = 3,
                   tau_num: int = 1, tau_den: int = 2,
-                  sh: DataFrame | None = None) -> DataFrame:
+                  sh: DataFrame | None = None,
+                  df_cap: int | None = None) -> DataFrame:
     """Pairs (da < db) with shingle-Jaccard >= tau_num/tau_den, by exact
     integer cross-multiplication: den*inter >= num*(na+nb-inter).
+
+    df_cap: drop shingles whose document frequency exceeds the cap
+    BEFORE sizes/intersections — the standard skew guard for the
+    distinct-shingle self-join: one degenerate shingle appearing in f
+    docs otherwise contributes O(f²) join rows. Applied symmetrically
+    in the DuckDB oracle; at web scale the cap is what keeps the join
+    near-linear.
 
     Returns (da, db, inter, na, nb) — all BIGINT, oracle-exact.
     """
     if sh is None:
-        sh = doc_shingles(docs, n).cache()
+        sh = doc_shingles(docs, n)
+    if df_cap is not None:
+        hot = (sh.groupBy("hs").agg(F.count("*").alias("dfreq"))
+               .filter(F.col("dfreq") > df_cap).select("hs"))
+        sh = sh.join(hot, "hs", "left_anti")
+    sh = sh.cache()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -198,31 +214,65 @@ def simhash(docs: DataFrame) -> DataFrame:
                             "doc_id long, simhash long")
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= 7, banded: the
-    56-bit fingerprint splits into 8 blocks of 7 bits; by pigeonhole any
-    pair within Hamming 7 shares at least one identical block, so the
-    block equi-join is a lossless candidate generator (then verified by
-    exact popcount). Output (da, db, hamming).
+def hamming_candidate_keys(fp_col: str, nbits: int, nblocks: int,
+                           flips: bool):
+    """Multi-index (prefix-extension) Hamming join keys.
+
+    Split an nbits fingerprint into nblocks superblocks of nbits/nblocks
+    bits. By pigeonhole, a pair within Hamming 2*nblocks-1 has some
+    block differing in <= 1 bit — covered by joining one side's
+    {exact + all single-bit flips} keys (flips=True) against the other
+    side's exact keys (flips=False). vs the naive one-block-equal split
+    with nbits/(2*nblocks-1)-bit blocks, the key space per block grows
+    from 2^7 to 2^14 (56-bit case): candidate volume drops ~n²/128 ->
+    ~n²/16384 per block — the scale-safe shape for corpus-sized inputs.
+    Returns a list of Column keys (block id packed above the bits).
     """
-    fps = simhash(docs).cache()
-    blocks = fps.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
-            (F.lit(j * 128)
-             + F.shiftright("simhash", j * 7).bitwiseAND(F.lit(0x7F)))
-            for j in range(8)])).alias("blk"))
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("da"),
-                    F.col("a.simhash").alias("ha"),
-                    F.col("b.doc_id").alias("db"),
-                    F.col("b.simhash").alias("hb"))
+    w = nbits // nblocks
+    mask = (1 << w) - 1
+    keys = []
+    for j in range(nblocks):
+        bits = F.shiftright(fp_col, j * w).bitwiseAND(F.lit(mask))
+        keys.append(F.lit(j * (mask + 1)) + bits)
+        if flips:
+            keys.extend(F.lit(j * (mask + 1)) + bits.bitwiseXOR(F.lit(1 << p))
+                        for p in range(w))
+    return keys
+
+
+def hamming_pairs(fps: DataFrame, id_col: str, fp_col: str, nbits: int,
+                  max_hamming: int, out_a: str, out_b: str) -> DataFrame:
+    """Generic multi-index Hamming-distance self-join <= max_hamming.
+
+    Candidates from the asymmetric (exact+flips) x (exact) key join are
+    lossless for max_hamming <= 2*nblocks - 1; verified by exact
+    popcount. Output (out_a, out_b, hamming), out_a < out_b."""
+    nblocks = 4
+    assert max_hamming <= 2 * nblocks - 1, max_hamming
+    a = fps.select(
+        F.col(id_col).alias(out_a), F.col(fp_col).alias("ha"),
+        F.explode(F.array(
+            *hamming_candidate_keys(fp_col, nbits, nblocks, True))).alias("bk"))
+    b = fps.select(
+        F.col(id_col).alias(out_b), F.col(fp_col).alias("hb"),
+        F.explode(F.array(
+            *hamming_candidate_keys(fp_col, nbits, nblocks, False))).alias("bk"))
+    cand = (a.join(b, (a["bk"] == b["bk"]) & (a[out_a] < b[out_b]))
+            .select(out_a, "ha", out_b, "hb")
             .distinct())
     return (cand.withColumn(
                 "hamming",
                 F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .filter(F.col("hamming") <= max_hamming)
-            .select("da", "db", F.col("hamming").cast("long").alias("hamming")))
+            .select(out_a, out_b,
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 7 via the
+    multi-index join (4 x 14-bit superblocks, single-bit-flip probes) —
+    lossless for <= 7 by pigeonhole, verified by exact popcount.
+    Output (da, db, hamming)."""
+    fps = simhash(docs).cache()
+    return hamming_pairs(fps, "doc_id", "simhash", _SIM_BITS,
+                         max_hamming, "da", "db")

@@ -46,6 +46,19 @@ VARDEN_Y_SQL = (f"GREATEST(0, LEAST(999999, {_VCY_SQL} + "
 # tests/test.cpp:569-617); same multiplicative-scramble family
 UNIFORM_Z_SQL = f"((({PID_SQL} % 999979) * 7907) % 1000000)"
 
+# dims 4+5 for the d=5 configuration (tests/test.cpp:584)
+UNIFORM_W_SQL = f"((({PID_SQL} % 999961) * 6011) % 1000000)"
+UNIFORM_V_SQL = f"((({PID_SQL} % 999959) * 4001) % 1000000)"
+
+D5_COLS = ("x", "y", "z", "w", "v")
+D5_EXPRS = (UNIFORM_X_SQL, UNIFORM_Y_SQL, UNIFORM_Z_SQL,
+            UNIFORM_W_SQL, UNIFORM_V_SQL)
+
+
+def d5_select_sql(id_alias: str = "pid") -> str:
+    return ", ".join([f"{PID_SQL} AS {id_alias}"]
+                     + [f"{e} AS {c}" for c, e in zip(D5_COLS, D5_EXPRS)])
+
 # time-slice label for the sliding-window workload (insertOsmByTime analogue,
 # tests/testFramework.h:818-870): 10 slices keyed off pid
 SLICE_SQL = f"({PID_SQL} % 10)"
@@ -110,6 +123,7 @@ DELETE_FILTER_SQL = f"({PID_SQL} % 89 = 11)"   # ~1% batch to delete
 INSERT_PID_SQL = f"({PID_SQL} + 4000000000000000)"
 INSERT_X_SQL = f"((({PID_SQL} % 1000033) * 6007) % 1000000)"
 INSERT_Y_SQL = f"((({PID_SQL} % 999979) * 31771) % 1000000)"
+INSERT_Z_SQL = f"((({PID_SQL} % 999961) * 16033) % 1000000)"
 
 
 def insert_batch_sql(table: str = "lineitem") -> str:
@@ -117,8 +131,52 @@ def insert_batch_sql(table: str = "lineitem") -> str:
             f"{INSERT_Y_SQL} AS y FROM {table} WHERE {INSERT_FILTER_SQL}")
 
 
+def insert_batch_d3_sql(table: str = "lineitem") -> str:
+    return (f"SELECT {INSERT_PID_SQL} AS pid, {INSERT_X_SQL} AS x, "
+            f"{INSERT_Y_SQL} AS y, {INSERT_Z_SQL} AS z "
+            f"FROM {table} WHERE {INSERT_FILTER_SQL}")
+
+
 def delete_batch_sql(table: str = "lineitem", dist: str = "uniform") -> str:
     """Deletes target existing points (FullCovered semantics on the match)."""
     sel = points_select_sql(dist)
     return (f"SELECT pid, x, y FROM (SELECT {sel} FROM {table} "
             f"WHERE {DELETE_FILTER_SQL})")
+
+
+def delete_batch_d3_sql(table: str = "lineitem") -> str:
+    return (f"SELECT pid, x, y, z FROM "
+            f"(SELECT {PID_SQL} AS pid, {UNIFORM_X_SQL} AS x, "
+            f"{UNIFORM_Y_SQL} AS y, {UNIFORM_Z_SQL} AS z FROM {table} "
+            f"WHERE {DELETE_FILTER_SQL})")
+
+
+# -- H2 ratio sweep: insert/delete batches at ratios {1e-4, 1e-3, 1e-2, 0.1}
+#    (tests/test.cpp:55-72). Each leg is a deterministic modulus filter;
+#    insert legs get disjoint pid offsets + per-leg coord scrambles.
+
+SWEEP_LEGS = ((10007, 1), (1009, 1), (101, 3), (10, 1))  # ~1e-4..0.1
+
+
+def sweep_insert_sql(table: str, step: int) -> str:
+    """Insert batch for sweep leg `step` (1-based)."""
+    mod, rem = SWEEP_LEGS[step - 1]
+    pid = f"({PID_SQL} + {4_000_000_000_000_000 + step * 1_000_000_000_000_000})"
+    x = f"((({PID_SQL} % 1000033) * {6007 + 2 * step}) % 1000000)"
+    y = f"((({PID_SQL} % 999979) * {31771 + 2 * step}) % 1000000)"
+    return (f"SELECT {pid} AS pid, {x} AS x, {y} AS y "
+            f"FROM {table} WHERE ({PID_SQL} % {mod} = {rem})")
+
+
+def sweep_delete_sql(table: str, step: int) -> str:
+    """Delete batch for sweep leg `step` (1-based): existing uniform points.
+    Legs can overlap (nested moduli); repeated deletes of an id are
+    ignored (partial-cover semantics)."""
+    mod, rem = SWEEP_LEGS[step - 1]
+    sel = points_select_sql("uniform")
+    return (f"SELECT pid, x, y FROM (SELECT {sel} FROM {table} "
+            f"WHERE ({PID_SQL} % {mod} = {rem}))")
+
+
+# probe set for the H9 interleaved build-and-query workload (~0.1%)
+PROBE_FILTER_SQL = f"({PID_SQL} % 1009 = 7)"

@@ -7,10 +7,17 @@ cluster that sibling-pruning becomes *cell* pruning:
 
   phase 1  queries cogroup with their HOME cell -> local top-k gives a
            per-query upper bound ub on the kth distance
-  phase 2  per-cell bbox stats (driver-broadcast numpy) -> every cell
-           whose data-bbox min-distance² <= ub is a candidate
-           (p2b_min_distance analogue, nn_search.hpp:22-35); queries
-           that found < k neighbours at home get ub = inf
+  phase 2  candidate (query, cell) pairs, fully Spark-side: each query
+           geometrically enumerates the grid cells inside its ub-radius
+           square (pure numpy on the regular grid — no stats broadcast,
+           work proportional to output), then an equi-join on `cell`
+           against the cluster-resident cell-stats table refines with
+           the data-bbox min-distance² <= ub test
+           (p2b_min_distance analogue, nn_search.hpp:22-35) and drops
+           empty cells. Queries with ub = inf (< k found at home) or a
+           radius covering > ENUM_CAP cells fall back to a join against
+           the full stats table — rare by construction, and the only
+           path whose cost scales with cell count
   phase 3  candidates shuffle to their cells; per-blob batched tree
            search with ub as the prune bound -> local top-k per cell
   phase 4  global top-k: min-k over per-cell top-k's via a window on
@@ -34,7 +41,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..grid import box_min_dist2
 from ..index import SpatialIndex
 from ..localtree import LocalKDTree
 
@@ -59,13 +65,91 @@ def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None):
     return best_d, best_i
 
 
-def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
-    """queries: (qid long, <coord cols> long) -> (qid, rank, nid, dist_sq).
+ENUM_CAP = 4096  # max geometrically-enumerated cells per query; beyond
+                 # this (or ub = inf) the query joins the full stats table
 
-    d >= 2 supported: distances use all coord dims; the cell-level bbox
-    pruning (phase 2) uses only the two grid dims — a lower bound on the
-    full-d distance, so exactness is preserved for any d."""
-    spark = index.spark
+
+def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
+                     coord_schema: str) -> DataFrame:
+    """Phase 2: (qid, coords, ub, cell) candidate pairs.
+
+    Per query, enumerate grid cells in the square of half-width
+    floor(sqrt(ub))+1 around the query point (regular grid => pure
+    arithmetic, no metadata needed), then equi-join on `cell` with the
+    cell-stats table to (a) drop empty cells and (b) keep only cells
+    whose data-bbox min-dist² <= ub — the same <= test the reference's
+    p2b_min_distance makes, so equal-distance candidates survive for the
+    (dist, id) tie-break. Queries whose square exceeds ENUM_CAP cells
+    emit a sentinel (cell = -1) and join against the full stats table.
+    """
+    grid = index.grid
+    g, cw = grid.g, grid.cw
+    xcol, ycol = cc[0], cc[1]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            qx = pdf[xcol].to_numpy(np.int64)
+            qy = pdf[ycol].to_numpy(np.int64)
+            ub = pdf["ub"].to_numpy(np.float64)
+            finite = np.isfinite(ub)
+            # +1 guards the (theoretical) downward rounding of sqrt at
+            # the boundary; over-coverage is corrected by the bbox join
+            r = np.zeros(n, np.int64)
+            r[finite] = np.floor(np.sqrt(ub[finite])).astype(np.int64) + 1
+            cx0 = np.clip((qx - r) // cw, 0, g - 1)
+            cx1 = np.clip((qx + r) // cw, 0, g - 1)
+            cy0 = np.clip((qy - r) // cw, 0, g - 1)
+            cy1 = np.clip((qy + r) // cw, 0, g - 1)
+            nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+            ncand = nx * ny
+            small = finite & (ncand <= ENUM_CAP)
+            idx = np.flatnonzero(small)
+            counts = ncand[idx]
+            total = int(counts.sum())
+            # flat enumeration of each query's (cx0..cx1)x(cy0..cy1) block
+            qrep = np.repeat(idx, counts)
+            starts = np.zeros(len(idx), np.int64)
+            if len(idx):
+                starts[1:] = np.cumsum(counts)[:-1]
+            within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+            nyr = np.repeat(ny[idx], counts)
+            cells = ((within // nyr + np.repeat(cx0[idx], counts)) * g
+                     + within % nyr + np.repeat(cy0[idx], counts))
+            big = np.flatnonzero(~small)
+            rows_i = np.concatenate([qrep, big])
+            cellcol = np.concatenate([cells, np.full(len(big), -1, np.int64)])
+            out = {"qid": pdf["qid"].to_numpy(np.int64)[rows_i]}
+            for c in cc:
+                out[c] = pdf[c].to_numpy(np.int64)[rows_i]
+            out["ub"] = ub[rows_i]
+            out["cell"] = cellcol
+            yield pd.DataFrame(out)
+
+    enum = with_ub.mapInPandas(
+        gen, f"qid long, {coord_schema}, ub double, cell long")
+    stats = index.cell_stats()
+    near = enum.filter(F.col("cell") >= 0).join(stats, "cell")
+    far = enum.filter(F.col("cell") < 0).drop("cell").crossJoin(stats)
+    # exact bbox min-dist² <= ub, all JVM-side codegen; the double math
+    # (exact int diff -> one multiply -> one add) matches numpy float64
+    mind2 = (F.pow(F.greatest(F.col("xmin") - F.col(xcol),
+                              F.col(xcol) - F.col("xmax"), F.lit(0)), 2)
+             + F.pow(F.greatest(F.col("ymin") - F.col(ycol),
+                                F.col(ycol) - F.col("ymax"), F.lit(0)), 2))
+    return (near.unionByName(far)
+            .filter(mind2 <= F.col("ub"))
+            .select("qid", *cc, "ub", "cell"))
+
+
+def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
+                   ) -> DataFrame:
+    """Phases 1+2: (qid, coords, ub, cell) candidate pairs. Exposed
+    separately so bench can audit pruning quality (candidate cells per
+    query — the reference's visited-node counters analogue,
+    testFramework.h:505-517)."""
     grid = index.grid
     cc = list(index.coord_cols)
     qcell = queries.selectExpr(
@@ -89,35 +173,18 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
                .cogroup(index.df.groupby("cell"))
                .applyInPandas(home_ub, f"qid long, {coord_schema}, ub double"))
 
-    # ---- phase 2: candidate (qid, cell) pairs from broadcast cell stats
-    stats = index.stats()
-    agg = stats[stats["cnt"] > 0].groupby("cell").agg(
-        xmin=("xmin", "min"), ymin=("ymin", "min"),
-        xmax=("xmax", "max"), ymax=("ymax", "max")).reset_index()
-    cells_np = agg["cell"].to_numpy(np.int64)
-    boxes_np = agg[["xmin", "ymin", "xmax", "ymax"]].to_numpy(np.int64)
-    bc = spark.sparkContext.broadcast((cells_np, boxes_np))
+    # ---- phase 2: candidate (qid, cell) pairs, Spark-side
+    return _candidate_cells(index, with_ub, cc, coord_schema)
 
-    def gen_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cells, boxes = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qx = pdf[cc[0]].to_numpy(np.int64)
-            qy = pdf[cc[1]].to_numpy(np.int64)
-            ub = pdf["ub"].to_numpy(np.float64)
-            mind2 = box_min_dist2(qx, qy, boxes)  # (nq, ncell), xy bound
-            # <= (not <): equal-distance candidates matter for id tie-break
-            hit_q, hit_c = np.nonzero(mind2 <= ub[:, None])
-            out = {"qid": pdf["qid"].to_numpy(np.int64)[hit_q]}
-            for c in cc:
-                out[c] = pdf[c].to_numpy(np.int64)[hit_q]
-            out["ub"] = ub[hit_q]
-            out["cell"] = cells[hit_c]
-            yield pd.DataFrame(out)
 
-    cand = with_ub.mapInPandas(
-        gen_candidates, f"qid long, {coord_schema}, ub double, cell long")
+def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
+    """queries: (qid long, <coord cols> long) -> (qid, rank, nid, dist_sq).
+
+    d >= 2 supported: distances use all coord dims; the cell-level bbox
+    pruning (phase 2) uses only the two grid dims — a lower bound on the
+    full-d distance, so exactness is preserved for any d."""
+    cc = list(index.coord_cols)
+    cand = knn_candidates(index, queries, k)
 
     # ---- phase 3: per-cell local top-k with ub pruning
     def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:

@@ -35,20 +35,10 @@ def _boxes_df(index: SpatialIndex, boxes) -> DataFrame:
 
 
 def _cell_stats_df(index: SpatialIndex) -> DataFrame:
-    """Per-cell union bbox + live count (no blobs touched).
-
-    Built from the driver-cached stats pandas (bounded: one row per
-    blob) as a fresh DataFrame — independent lineage from index.df, so
-    downstream cogroups against index.df are not self-joins.
-    """
-    s = index.stats()
-    s = s[s["cnt"] > 0]
-    agg = s.groupby("cell").agg(
-        xmin=("xmin", "min"), ymin=("ymin", "min"),
-        xmax=("xmax", "max"), ymax=("ymax", "max"),
-        ccnt=("cnt", "sum")).reset_index()
-    return index.spark.createDataFrame(
-        agg, "cell long, xmin long, ymin long, xmax long, ymax long, ccnt long")
+    """Per-cell union bbox + live count (no blobs touched) — the cached
+    Spark-side stats table (index.cell_stats); nothing is collected to
+    the driver, so pruning scales to arbitrary cell counts."""
+    return index.cell_stats()
 
 
 def range_count(index: SpatialIndex, boxes) -> DataFrame:

@@ -8,10 +8,14 @@ Spark-native rendering is Structured Streaming over a file source with
 `foreachBatch` driving the index's batch insert/delete — watermarks are
 deliberately NOT modeled (the reference has no late data; SURVEY §2.3).
 
-Each micro-batch is checkpointable state: the indexer keeps the live
-slice set and the current SpatialIndex version (its manifest carries
-the lineage), so a restarted stream resumes from the last processed
-slice — the write-audit-publish story of index.save/load.
+Checkpoint semantics (precise): the stream checkpoint persists SOURCE
+OFFSETS only — a restarted stream re-processes new files, not the ones
+already consumed, and `run_file_stream` starts with a fresh indexer, so
+the rebuilt window contains only slices arriving after the restart
+(tests/test_streaming.py::test_stream_checkpoint_resume codifies this).
+To carry the window contents across restarts, persist the index with
+index.save(path) after each batch and reload it before restarting; the
+manifest's lineage + write-audit-publish make that handoff atomic.
 """
 
 from __future__ import annotations
@@ -55,7 +59,12 @@ class SlidingWindowIndexer:
                 if len(self.live_slices) >= self.window_len:
                     oldest = self.live_slices.pop(0)
                     evict = self._history.pop(oldest)
-                self.index = self.index.update(inserts=sdf, deletes=evict)
+                old = self.index
+                self.index = old.update(inserts=sdf, deletes=evict)
+                # the new version is materialized (update() counts it);
+                # release the superseded version's cache so storage stays
+                # O(window), not O(stream lifetime)
+                old.unpersist()
                 if evict is not None:
                     evict.unpersist()
             self.live_slices.append(t)

@@ -2,9 +2,11 @@
 throughput scaling efficiency from N to 4N executors; evidenced in this
 sandbox as local[8] vs local[32] per the driver's instruction).
 
-One process per parallelism level (a JVM cannot change master); each run
-executes the same compute-dominated workload over REP x sf0.1-derived
-points (default 64 x 600k = 38.4M), best-of-2 rounds per op:
+One process per (parallelism level, round) — a JVM cannot change master
+— with the levels INTERLEAVED (A/B/A/B/...) so co-tenant load swings hit
+both levels alike; the reported number per level is the best of ROUNDS
+rounds. Each round executes the same compute-dominated workload over
+REP x sf0.1-derived points (default 64 x 600k = 38.4M):
 
   build    two-level index build (shuffle + per-cell kd-tree UDFs)
   knn      k=10 exact kNN join for a 0.5% query set (~190k queries)
@@ -29,6 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REP = int(os.environ.get("SCALING_REP", "64"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 GRID_G = 16
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))  # best-of-ROUNDS,
+# single source of truth for both the loop and the BENCH.md text
 
 
 def run_one(cpus: int) -> dict:
