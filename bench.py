@@ -26,8 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_SPATIAL = [
     "knn_k1", "knn_k10", "knn_k100", "knn_varden", "knn_k10_d3",
-    "range_count", "range_report", "circle_count",
+    "knn_k10_d5",
+    "range_count", "range_count_10k", "range_report", "circle_count",
     "insert_then_count", "delete_then_count", "update_then_knn",
+    "update_then_knn_d3", "insert_ratio_sweep", "incr_build_and_query",
     "point_in_polygon", "tile_cells",
 ]
 HEADLINE_PIPELINE = [
@@ -84,6 +86,13 @@ def main() -> None:
     from kdtree_spark.driver_queries import spatial as dq
     dq._INDEX_CACHE[(id(spark), sf_dir, "uniform")] = idx
 
+    # warm the query path once (cell-stats cache, blob shuffles, pandas
+    # workers for the cogroup UDFs) so the first timed kNN measures the
+    # engine, not one-time cache builds — see knn_k1 anomaly, VERDICT r1
+    from kdtree_spark.queries.knn import knn_candidates, knn_join
+    warmq = (points.load_query_points(spark, sf_dir, "uniform").limit(64))
+    knn_join(idx, warmq, 1).count()
+
     queries = entrymod.queries()
     names = (args.queries.split(",") if args.queries else HEADLINE)
     n_knn_queries = max(1, n_rows // 101)
@@ -91,6 +100,30 @@ def main() -> None:
         if name not in queries:
             continue
         if name == HEADLINE_PIPELINE[0] and args.queries is None:
+            # pruning-quality audit (the reference's visited-node metric,
+            # testFramework.h:505-517): avg candidate cells per kNN query
+            # at d=2/3/5 — measures how xy-only cell pruning degrades
+            # with dimensionality
+            nq = max(1, n_rows // 101)
+            q2 = points.load_query_points(spark, sf_dir, "uniform")
+            extras["knn_k10_d2_cells_per_query"] = round(
+                knn_candidates(idx, q2, 10).count() / nq, 2)
+            for dname, getter in (("d3", dq.get_index_d3),
+                                  ("d5", dq.get_index_d5)):
+                key = (id(spark), sf_dir, dname)
+                if key in dq._INDEX_CACHE:
+                    idxd = dq._INDEX_CACHE[key]
+                    cc = list(idxd.coord_cols)
+                    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                    li.createOrReplaceTempView("_bench_li")
+                    sel = ", ".join(
+                        f"{e} AS {c}" for c, e in zip(
+                            points.D5_COLS[:len(cc)], points.D5_EXPRS))
+                    qd = spark.sql(
+                        f"SELECT {points.PID_SQL} AS qid, {sel} "
+                        f"FROM _bench_li WHERE {points.QUERY_FILTER_SQL}")
+                    extras[f"knn_k10_{dname}_cells_per_query"] = round(
+                        knn_candidates(idxd, qd, 10).count() / nq, 2)
             # spatial family done: drop its caches so pipeline timings
             # aren't skewed by memory pressure from index/blob caches
             spark.catalog.clearCache()

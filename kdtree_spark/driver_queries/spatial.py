@@ -26,6 +26,7 @@ GRID_G = 8  # fixed grid for driver queries: 64 cells, sf-independent
 
 BOXES = fixtures.gen_boxes(30)
 BOXES_SMALL = fixtures.gen_boxes(12)
+BOXES_10K = fixtures.gen_boxes(10000)  # H4 rangeCountFix scale
 CIRCLES = fixtures.gen_circles(15)
 POLYGONS = fixtures.gen_polygons(8)
 TILES = fixtures.gen_tiles(12)
@@ -80,6 +81,23 @@ def q_range_count(spark, sf_dir) -> DataFrame:
 
 def sql_range_count() -> str:
     vals = fixtures.boxes_values_sql(BOXES)
+    return f"""
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN ({_pts_sql()}) p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
+def q_range_count_10k(spark, sf_dir) -> DataFrame:
+    """H4 rangeCountFix at reference scale: 10,000 generated rectangles
+    (testFramework.h:617-648) — measures the range path above its
+    per-job latency floor."""
+    return range_count(get_index(spark, sf_dir), BOXES_10K)
+
+
+def sql_range_count_10k() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_10K)
     return f"""
 SELECT b.box_id, count(p.pid) AS cnt
 FROM {vals}
@@ -656,6 +674,7 @@ QUERIES = {
     "cell_assign": q_cell_assign,
     "index_stats": q_index_stats,
     "range_count": q_range_count,
+    "range_count_10k": q_range_count_10k,
     "range_report": q_range_report,
     "circle_count": q_circle_count,
     "knn_k1": q_knn_k1,
@@ -684,6 +703,7 @@ ORACLES = {
     "cell_assign": sql_cell_assign(),
     "index_stats": sql_cell_assign(),  # same ground truth, via the index
     "range_count": sql_range_count(),
+    "range_count_10k": sql_range_count_10k(),
     "range_report": sql_range_report(),
     "circle_count": sql_circle_count(),
     "knn_k1": _sql_knn(1),

@@ -1,0 +1,131 @@
+"""Round-2 additions: dimension-generic batch updates, Spark-side
+pruning stats, multi-index Hamming joins, the jaccard df cap, and
+overlapping-delete idempotence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kdtree_spark import bruteforce as bf
+from kdtree_spark import points
+from kdtree_spark.grid import Grid
+from kdtree_spark.index import SpatialIndex
+from kdtree_spark.localtree import LocalKDTree
+from kdtree_spark.queries.knn import knn_candidates, knn_join
+
+
+def _d3_points(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_t2_li")
+    return spark.sql(
+        f"SELECT {points.PID_SQL} AS pid, {points.UNIFORM_X_SQL} AS x, "
+        f"{points.UNIFORM_Y_SQL} AS y, {points.UNIFORM_Z_SQL} AS z "
+        f"FROM _t2_li")
+
+
+def test_update_d3_vs_bruteforce(spark, sf_dir):
+    """Insert + delete on a 3-D index, then kNN — vs numpy brute force."""
+    pts = _d3_points(spark, sf_dir)
+    idx = SpatialIndex.build(spark, pts, grid=Grid(4),
+                             coord_cols=("x", "y", "z"))
+    ins = spark.sql(points.insert_batch_d3_sql("_t2_li"))
+    dele = spark.sql(points.delete_batch_d3_sql("_t2_li"))
+    idx2 = idx.update(inserts=ins, deletes=dele)
+
+    pd_all = pts.toPandas()
+    pd_ins = ins.toPandas()
+    pd_del = dele.toPandas()
+    live = pd_all[~pd_all["pid"].isin(set(pd_del["pid"]))]
+    import pandas as pd
+    live = pd.concat([live, pd_ins], ignore_index=True)
+    P = live[["x", "y", "z"]].to_numpy(np.int64)
+    ids = live["pid"].to_numpy(np.int64)
+
+    q = pts.filter("pid % 101 = 7").selectExpr("pid AS qid", "x", "y", "z")
+    got = (knn_join(idx2, q, 5).toPandas()
+           .sort_values(["qid", "rank"]).reset_index(drop=True))
+    qpd = q.toPandas().sort_values("qid")
+    Q = qpd[["x", "y", "z"]].to_numpy(np.int64)
+    exp_d, exp_i = bf.knn(P, ids, Q, 5)
+    got_i = got["nid"].to_numpy(np.int64).reshape(len(qpd), 5)
+    got_d = got["dist_sq"].to_numpy(np.int64).reshape(len(qpd), 5)
+    assert (got_i == exp_i).all()
+    assert (got_d == exp_d.astype(np.int64)).all()
+
+
+def test_update_counts_after_overlapping_deletes(spark, sf_dir):
+    """Deleting an already-deleted id must not double-subtract."""
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    idx = SpatialIndex.build(spark, pts, grid=Grid(4))
+    n = pts.count()
+    batch = pts.filter("pid % 10 = 1")
+    nb = batch.count()
+    idx2 = idx.update(deletes=batch)
+    idx3 = idx2.update(deletes=batch)  # fully overlapping second delete
+    assert idx2.validate()["total"] == n - nb
+    assert idx3.validate()["total"] == n - nb
+
+
+def test_local_tombstone_idempotent():
+    pts = np.arange(20, dtype=np.int64).reshape(10, 2) * 7
+    ids = np.arange(10, dtype=np.int64)
+    t = LocalKDTree.build(pts, ids)
+    t2 = t.with_updates(del_pts=pts[:3], del_ids=ids[:3])
+    t3 = t2.with_updates(del_pts=pts[:3], del_ids=ids[:3])
+    assert t2.n_live == 7
+    assert t3.n_live == 7
+
+
+def test_knn_candidates_metric(spark, sf_dir):
+    """Phase-2 candidates: every query yields >= 1 candidate cell, and
+    the audited count is small for d=2 uniform data."""
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    idx = SpatialIndex.build(spark, pts, grid=Grid(4))
+    q = points.load_query_points(spark, sf_dir, "uniform")
+    nq = q.count()
+    cand = knn_candidates(idx, q, 10)
+    per_q = (cand.groupBy("qid").count().agg(
+        F.min("count"), F.max("count")).collect()[0])
+    assert per_q[0] >= 1
+    assert cand.count() / nq < 8  # uniform d=2: pruning keeps it tight
+
+
+def test_hamming_pairs_lossless(spark):
+    """Multi-index join finds EXACTLY the brute-force Hamming<=7 pairs."""
+    from kdtree_spark.pipeline.dedup import hamming_pairs
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 56, size=40, dtype=np.int64)
+    # planted near pairs: flip 0..7 random bits of some fingerprints
+    fps = list(base)
+    for j in range(12):
+        v = int(base[j])
+        for b in rng.choice(56, size=int(rng.integers(0, 8)), replace=False):
+            v ^= 1 << int(b)
+        fps.append(v)
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(fps)], "doc_id long, fp long")
+    got = (hamming_pairs(df, "doc_id", "fp", 56, 7, "da", "db")
+           .toPandas().sort_values(["da", "db"]).reset_index(drop=True))
+    arr = np.array(fps, dtype=np.int64)
+    x = arr[:, None] ^ arr[None, :]
+    ham = np.array([[bin(int(v)).count("1") for v in row] for row in x])
+    ii, jj = np.nonzero((ham <= 7) & (np.arange(len(arr))[:, None]
+                                      < np.arange(len(arr))[None, :]))
+    exp = sorted(zip(ii.tolist(), jj.tolist()))
+    assert list(zip(got["da"], got["db"])) == exp
+    assert got["hamming"].tolist() == [int(ham[a, b]) for a, b in exp]
+
+
+def test_jaccard_df_cap(spark):
+    """df-capped join drops pairs that only share ultra-common shingles."""
+    from kdtree_spark.pipeline.dedup import jaccard_pairs
+    common = "the quick brown fox jumps over the lazy dog again"
+    docs = [(i, common) for i in range(20)]          # df of every shingle = 20
+    docs += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta zeta")]    # rare near-dup pair
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = jaccard_pairs(df, 3, 1, 2, df_cap=12).toPandas()
+    # the 20 identical docs' shingles are over the cap -> no pairs from them
+    assert set(zip(capped["da"], capped["db"])) == {(100, 101)}
+    uncapped = jaccard_pairs(df, 3, 1, 2).toPandas()
+    assert len(uncapped) > 1
