@@ -270,18 +270,30 @@ class LocalKDTree:
         """
         q = np.asarray(q, dtype=np.int64)
         m, d = q.shape
-        kk = k + len(self.tomb_ids)  # over-fetch to survive tombstone filter
+        kk = k
         INF = np.inf
         best_d = np.full((m, kk), INF, dtype=np.float64)
         best_i = np.full((m, kk), -1, dtype=np.int64)
         bound = np.full(m, INF) if ub is None else np.asarray(ub, np.float64).copy()
 
         qf = q.astype(np.float64)
+        # tombstones are filtered AT THE LEAF (sorted-array membership per
+        # scanned block) instead of over-fetching k+|tomb| per query —
+        # post-delete query cost stays O(k), not O(k + batch size)
+        tomb = np.sort(self.tomb_ids) if len(self.tomb_ids) else None
 
         def scan(pidx_pts, pidx_ids, qsub):
             # brute merge of a candidate block into best_d/best_i[qsub]
             if len(pidx_ids) == 0 or len(qsub) == 0:
                 return
+            if tomb is not None:
+                pos = np.searchsorted(tomb, pidx_ids)
+                pos[pos == len(tomb)] = 0
+                alive = tomb[pos] != pidx_ids
+                if not alive.all():
+                    pidx_pts, pidx_ids = pidx_pts[alive], pidx_ids[alive]
+                    if len(pidx_ids) == 0:
+                        return
             diff = qf[qsub, None, :] - pidx_pts[None, :, :].astype(np.float64)
             d2 = np.einsum("ijk,ijk->ij", diff, diff)
             cat_d = np.concatenate([best_d[qsub], d2], axis=1)
@@ -326,20 +338,13 @@ class LocalKDTree:
                 if len(near_l):
                     stack.append((self.left[node], near_l))
 
-        # extras: brute scan
+        # extras: brute scan (extras are never tombstoned — deletes net
+        # them out of the log at update time)
         scan(self.extra_pts, self.extra_ids, np.arange(m, dtype=np.int64))
 
-        # tombstone filter, then trim to k
-        if len(self.tomb_ids):
-            dead = np.isin(best_i, self.tomb_ids) & (best_i >= 0)
-            best_d[dead] = INF
-            best_i[dead] = -1
-        ordr = np.lexsort((best_i, best_d), axis=1)[:, :k]
-        rows = np.arange(m)[:, None]
-        out_d = best_d[rows, ordr]
-        out_i = best_i[rows, ordr]
-        out_i[~np.isfinite(out_d)] = -1
-        return out_d, out_i
+        out_i = best_i.copy()
+        out_i[~np.isfinite(best_d)] = -1
+        return best_d, out_i
 
     # ------------------------------------------------------------------ range
 
