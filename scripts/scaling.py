@@ -68,30 +68,30 @@ def run_one(cpus: int) -> dict:
     rep = rep.repartition(max(cpus * 3, 12)).cache()
     n = rep.count()
 
-    # best-of-3 rounds per op (the reference averages 3 rounds,
-    # script/run_summary.sh:27; min is robust to co-tenant noise on this
-    # shared sandbox — round 1 additionally pays one-time python-worker
-    # and codegen warmup that is not steady-state throughput)
+    # ONE timed round per op per process invocation; the caller
+    # interleaves processes across parallelism levels (A/B/A/B) and takes
+    # best-of-ROUNDS per level, so co-tenant noise hits both levels alike.
+    # An untimed mini-build first: the first applyInPandas/codegen pass
+    # pays one-time worker startup that is not steady-state throughput.
     q = rep.filter("pid % 199 = 7").selectExpr("pid AS qid", "x", "y")
     nq = q.count()
     boxes = fixtures.gen_boxes(20000)  # 2x rangeCountFix scale (H4)
-    t_build = t_knn = t_range = float("inf")
-    idx = None
-    for _ in range(2):
-        if idx is not None:
-            idx.df.unpersist(blocking=True)  # else the next build hits
-            # the cache manager's plan-identical InMemoryRelation
-        t0 = time.time()
-        idx = SpatialIndex.build(spark, rep, grid=Grid(GRID_G), n_hint=n)
-        t_build = min(t_build, time.time() - t0)
+    warm = SpatialIndex.build(
+        spark, rep.limit(50000), grid=Grid(4), n_hint=50000)
+    knn_join(warm, q.limit(256), 10).count()
+    warm.df.unpersist(blocking=True)
 
-        t0 = time.time()
-        knn_join(idx, q, 10).count()
-        t_knn = min(t_knn, time.time() - t0)
+    t0 = time.time()
+    idx = SpatialIndex.build(spark, rep, grid=Grid(GRID_G), n_hint=n)
+    t_build = time.time() - t0
 
-        t0 = time.time()
-        range_count(idx, boxes).count()
-        t_range = min(t_range, time.time() - t0)
+    t0 = time.time()
+    knn_join(idx, q, 10).count()
+    t_knn = time.time() - t0
+
+    t0 = time.time()
+    range_count(idx, boxes).count()
+    t_range = time.time() - t0
 
     return {
         "cpus": cpus, "rows": n, "n_queries": nq,
@@ -142,15 +142,29 @@ def main() -> None:
 
     ceiling = measure_cpu_ceiling()
     lo, hi = (int(x) for x in args.levels.split(","))
-    results = {}
-    for c in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpus", str(c)],
-            capture_output=True, text=True, timeout=1800)
-        line = [ln for ln in out.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        results[c] = json.loads(line)
-        print(line)
+    results: dict = {}
+    # interleave the levels within each round: A/B, A/B, ... so a load
+    # swing during round r degrades both levels, not just one
+    for r in range(ROUNDS):
+        for c in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cpus", str(c)],
+                capture_output=True, text=True, timeout=1800)
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            res = json.loads(line)
+            print(f"round {r + 1}/{ROUNDS}:", line)
+            if c not in results:
+                results[c] = res
+            else:  # best-of-ROUNDS: keep per-op minimum time
+                for tm, tp, num in (
+                        ("build_sec", "build_rows_per_sec", res["rows"]),
+                        ("knn_sec", "knn_q_per_sec", res["n_queries"]),
+                        ("range_sec", "range_q_per_sec", 20000)):
+                    if res[tm] < results[c][tm]:
+                        results[c][tm] = res[tm]
+                        results[c][tp] = res[tp]
 
     factor = hi / lo
     effs = {}
@@ -164,10 +178,11 @@ def main() -> None:
         f"Workload: {results[lo]['rows']:,} points derived from sf0.1 "
         f"({REP} shifted copies), Grid({GRID_G}) two-level index; "
         f"kNN k=10 over {results[lo]['n_queries']:,} queries; 20,000-box "
-        "range count. Best-of-3 rounds per op (robust to co-tenant "
-        "noise). Single machine, two parallelism levels "
-        f"(local[{lo}] vs local[{hi}]) standing in for N vs 4N executors "
-        "per the driver's sandbox instruction.",
+        f"range count. Levels INTERLEAVED (A/B per round), best-of-"
+        f"{ROUNDS} rounds per op (robust to co-tenant noise). Single "
+        f"machine, two parallelism levels (local[{lo}] vs local[{hi}]) "
+        "standing in for N vs 4N executors per the driver's sandbox "
+        "instruction.",
         "",
         "| metric | local[" + str(lo) + "] | local[" + str(hi) + "] | "
         "speedup | efficiency (target >= 0.8) |",

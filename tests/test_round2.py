@@ -129,3 +129,18 @@ def test_jaccard_df_cap(spark):
     assert set(zip(capped["da"], capped["db"])) == {(100, 101)}
     uncapped = jaccard_pairs(df, 3, 1, 2).toPandas()
     assert len(uncapped) > 1
+
+
+def test_rotate_split_rule():
+    """ROTATE_DIM build answers identically to MAX_STRETCH + brute force."""
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 1_000_000, size=(500, 3)).astype(np.int64)
+    ids = np.arange(500, dtype=np.int64)
+    q = rng.integers(0, 1_000_000, size=(40, 3)).astype(np.int64)
+    t_rot = LocalKDTree.build(pts, ids, split_rule="rotate")
+    d1, i1 = t_rot.knn(q, 5)
+    exp_d, exp_i = bf.knn(pts, ids, q, 5)
+    assert (i1 == exp_i).all() and (d1 == exp_d).all()
+    boxes = np.array([[0, 0, 0, 500_000, 700_000, 900_000]], np.int64)
+    assert t_rot.range_count(boxes).tolist() == [
+        int(np.all((pts >= boxes[0, :3]) & (pts <= boxes[0, 3:]), axis=1).sum())]
