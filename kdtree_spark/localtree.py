@@ -155,8 +155,17 @@ class LocalKDTree:
                 stack.append((l_, lo, lo + m, dep + 1))
                 stack.append((r_, lo + m, hi, dep + 1))
 
+        pts_store = pts[perm] if n else pts
+        # store coords int32 when they fit (reference domain is [0,1e6]^d,
+        # data_generate.cpp:19): halves the dominant blob component, so
+        # serialization, shuffle, cache and Arrow volume all drop ~33%;
+        # kernels upcast to float64/int64 on the fly, results unchanged
+        if pts_store.size == 0 or (
+                pts_store.min() >= -(2 ** 31)
+                and pts_store.max() < 2 ** 31):
+            pts_store = pts_store.astype(np.int32)
         return cls(
-            pts=pts[perm] if n else pts,
+            pts=pts_store,
             ids=ids[perm] if n else ids,
             split_dim=np.asarray(split_dim, np.int16),
             split_val=np.asarray(split_val, np.int64),

@@ -268,7 +268,10 @@ def srp_topk(emb: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("q_emb"),
                  F.explode(F.array(*probes)).alias("bucket")))
-    cand = (base.join(q.hint("broadcast"), "bucket")
+    # equi-join on bucket; no forced broadcast — the query side is a
+    # constant fraction of the table, so AQE picks broadcast at small
+    # scale and a shuffle join once the query set outgrows it
+    cand = (base.join(q, "bucket")
             .filter(F.col("qid") != F.col("nid")))
 
     def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
