@@ -41,7 +41,7 @@ from .localtree import LocalKDTree
 
 INDEX_SCHEMA = ("cell long, salt int, cnt long, nextra long, ntomb long, "
                 "depth int, xmin long, ymin long, xmax long, ymax long, "
-                "blob binary")
+                "bbox array<bigint>, blob binary")
 
 STATS_COLS = ["cell", "salt", "cnt", "nextra", "ntomb", "depth",
               "xmin", "ymin", "xmax", "ymax"]
@@ -53,23 +53,23 @@ def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
     d = tree.pts.shape[1]
     if tree.n_base:
         root = tree.nbox[0]
-        # stats carry the FIRST TWO dims (the grid dims); for d>2 the
-        # xy bbox still lower-bounds every distance, so pruning stays
-        # exact (just looser)
-        xmin, ymin = int(root[0]), int(root[1])
-        xmax, ymax = int(root[d]), int(root[d + 1])
+        lo = root[:d].astype(np.int64).copy()
+        hi = root[d:].astype(np.int64).copy()
     else:
-        xmin = ymin = 0
-        xmax = ymax = -1
+        lo = np.zeros(d, np.int64)
+        hi = np.full(d, -1, np.int64)
     # widen bbox to cover the extra log (stats must stay a valid superset)
     if len(tree.extra_ids):
-        xmin = min(xmin, int(tree.extra_pts[:, 0].min()))
-        ymin = min(ymin, int(tree.extra_pts[:, 1].min()))
-        xmax = max(xmax, int(tree.extra_pts[:, 0].max()))
-        ymax = max(ymax, int(tree.extra_pts[:, 1].max()))
+        lo = np.minimum(lo, tree.extra_pts.min(axis=0))
+        hi = np.maximum(hi, tree.extra_pts.max(axis=0))
+    # xmin..ymax: the two grid dims (fast path for 2-D range ops);
+    # bbox: all d dims, the tight phase-2 kNN bound for d > 2
     return dict(cell=cell, salt=salt, cnt=tree.n_live,
                 nextra=len(tree.extra_ids), ntomb=len(tree.tomb_ids),
-                depth=tree.depth, xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax,
+                depth=tree.depth,
+                xmin=int(lo[0]), ymin=int(lo[1]),
+                xmax=int(hi[0]), ymax=int(hi[1]),
+                bbox=[int(v) for v in np.concatenate([lo, hi])],
                 blob=tree.to_bytes())
 
 
@@ -161,13 +161,17 @@ class SpatialIndex:
         for 1e12 rows) this is a few-GB cluster-resident table joined on
         `cell`, never a driver collect."""
         if self._cell_stats is None:
+            d = len(self.coord_cols)
+            aggs = [F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+                    F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+                    F.sum("cnt").alias("ccnt")]
+            # dims >= 2: elementwise bbox union from the array column,
+            # giving kNN phase 2 the tight full-d bound
+            for j in range(2, d):
+                aggs.append(F.min(F.col("bbox")[j]).alias(f"mn{j}"))
+                aggs.append(F.max(F.col("bbox")[d + j]).alias(f"mx{j}"))
             agg = (self.df.filter(F.col("cnt") > 0)
-                   .groupBy("cell")
-                   .agg(F.min("xmin").alias("xmin"),
-                        F.min("ymin").alias("ymin"),
-                        F.max("xmax").alias("xmax"),
-                        F.max("ymax").alias("ymax"),
-                        F.sum("cnt").alias("ccnt")))
+                   .groupBy("cell").agg(*aggs))
             # re-alias every column: fresh expression ids, so queries can
             # join/cogroup stats-derived frames against index.df without
             # tripping the ambiguous-self-join analyzer check

@@ -133,12 +133,18 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
     stats = index.cell_stats()
     near = enum.filter(F.col("cell") >= 0).join(stats, "cell")
     far = enum.filter(F.col("cell") < 0).drop("cell").crossJoin(stats)
-    # exact bbox min-dist² <= ub, all JVM-side codegen; the double math
-    # (exact int diff -> one multiply -> one add) matches numpy float64
+    # exact bbox min-dist² <= ub over ALL dims (stats carry the full-d
+    # data bbox, so d>2 pruning is tight, not xy-only), all JVM-side
+    # codegen; the double math (exact int diff -> one multiply -> adds
+    # left-to-right) matches numpy float64
     mind2 = (F.pow(F.greatest(F.col("xmin") - F.col(xcol),
                               F.col(xcol) - F.col("xmax"), F.lit(0)), 2)
              + F.pow(F.greatest(F.col("ymin") - F.col(ycol),
                                 F.col(ycol) - F.col("ymax"), F.lit(0)), 2))
+    for j in range(2, len(cc)):
+        mind2 = mind2 + F.pow(
+            F.greatest(F.col(f"mn{j}") - F.col(cc[j]),
+                       F.col(cc[j]) - F.col(f"mx{j}"), F.lit(0)), 2)
     return (near.unionByName(far)
             .filter(mind2 <= F.col("ub"))
             .select("qid", *cc, "ub", "cell"))
