@@ -144,3 +144,19 @@ def test_rotate_split_rule():
     boxes = np.array([[0, 0, 0, 500_000, 700_000, 900_000]], np.int64)
     assert t_rot.range_count(boxes).tolist() == [
         int(np.all((pts >= boxes[0, :3]) & (pts <= boxes[0, 3:]), axis=1).sum())]
+
+
+def test_point_insert_delete_batch_of_one(spark, sf_dir):
+    """I2/D3: pointInsert/pointDelete = batch of exactly one row."""
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    idx = SpatialIndex.build(spark, pts, grid=Grid(4))
+    n = pts.count()
+    one_new = spark.createDataFrame([(999_000_000_001, 123, 456)],
+                                    "pid long, x long, y long")
+    idx2 = idx.update(inserts=one_new)
+    assert idx2.validate()["total"] == n + 1
+    got = knn_join(idx2, spark.createDataFrame(
+        [(1, 123, 456)], "qid long, x long, y long"), 1).collect()
+    assert got[0]["nid"] == 999_000_000_001 and got[0]["dist_sq"] == 0
+    idx3 = idx2.update(deletes=one_new)
+    assert idx3.validate()["total"] == n
