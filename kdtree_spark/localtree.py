@@ -288,6 +288,73 @@ class LocalKDTree:
 
     # -------------------------------------------------------------------- kNN
 
+    def knn_bound(self, q: np.ndarray, k: int) -> np.ndarray:
+        """Cheap VALID upper bound on each query's kth-NN distance².
+
+        Vectorized descent to the deepest enclosing subtree block with
+        >= max(2k, 128) base points (so >= k survive tombstones in all
+        but pathological blocks), then one block scan for the kth
+        smallest distance² among its live points. Any k live points
+        upper-bound the true kth distance, so this is exact-safe as a
+        prune bound; queries whose block has < k live points get inf.
+
+        This replaces a full cold traversal for bound-seeding: at small
+        per-cell batch sizes the batch traversal is dominated by
+        per-node numpy overhead, while this is one descent (O(depth)
+        passes over the batch) plus one einsum per distinct stop block.
+        """
+        q = np.asarray(q, dtype=np.int64)
+        m, d = q.shape
+        bound = np.full(m, np.inf)
+        if m == 0:
+            return bound
+        qf = q.astype(np.float64)
+        if self.n_base:
+            stop = max(2 * k, 128)
+            cur = np.zeros(m, np.int64)
+            rows = np.arange(m)
+            while True:
+                sd = self.split_dim[cur]
+                internal = sd >= 0
+                if not internal.any():
+                    break
+                qd = qf[rows, np.where(internal, sd, 0)]
+                child = np.where(qd < self.split_val[cur],
+                                 self.left[cur], self.right[cur])
+                ok = internal & (
+                    (self.end[child] - self.start[child]) >= stop)
+                if not ok.any():
+                    break
+                cur = np.where(ok, child, cur)
+            tomb = np.sort(self.tomb_ids) if len(self.tomb_ids) else None
+            order = np.argsort(cur, kind="stable")
+            scur = cur[order]
+            blockstarts = np.flatnonzero(
+                np.r_[True, scur[1:] != scur[:-1]])
+            blockends = np.r_[blockstarts[1:], m]
+            for bs, be in zip(blockstarts, blockends):
+                node = scur[bs]
+                qsub = order[bs:be]
+                lo, hi = self.start[node], self.end[node]
+                bpts, bids = self.pts[lo:hi], self.ids[lo:hi]
+                if tomb is not None:
+                    pos = np.searchsorted(tomb, bids)
+                    pos[pos == len(tomb)] = 0
+                    alive = tomb[pos] != bids
+                    bpts = bpts[alive]
+                if len(bpts) < k:
+                    continue
+                diff = qf[qsub, None, :] - bpts[None, :, :].astype(np.float64)
+                d2 = np.einsum("ijk,ijk->ij", diff, diff)
+                bound[qsub] = np.partition(d2, k - 1, axis=1)[:, k - 1]
+        # extras can only tighten; a kth among extras alone is also valid
+        ne = len(self.extra_ids)
+        if k <= ne <= 65536:
+            diff = qf[:, None, :] - self.extra_pts[None, :, :].astype(np.float64)
+            d2 = np.einsum("ijk,ijk->ij", diff, diff)
+            bound = np.minimum(bound, np.partition(d2, k - 1, axis=1)[:, k - 1])
+        return bound
+
     def knn(self, q: np.ndarray, k: int, ub: np.ndarray | None = None):
         """Exact k nearest neighbours for a batch of queries.
 
@@ -302,7 +369,12 @@ class LocalKDTree:
         INF = np.inf
         best_d = np.full((m, kk), INF, dtype=np.float64)
         best_i = np.full((m, kk), -1, dtype=np.int64)
-        bound = np.full(m, INF) if ub is None else np.asarray(ub, np.float64).copy()
+        # cold searches seed the prune bound with the block-scan kth
+        # upper bound (exact-safe: pruning only drops strictly-greater
+        # subtrees, so distance-ties at the bound still reach the
+        # (dist², id) tie-break); bounded searches keep the caller's ub
+        bound = (self.knn_bound(q, k) if ub is None
+                 else np.asarray(ub, np.float64).copy())
 
         qf = q.astype(np.float64)
         # tombstones are filtered AT THE LEAF (sorted-array membership per

@@ -146,3 +146,42 @@ def test_delete_partial_cover_ignores_missing():
     t2 = t.with_updates(del_pts=ghost_pts, del_ids=ghost_ids)
     assert len(t2.tomb_ids) == 0
     assert t2.n_live == 1000
+
+
+@pytest.mark.parametrize("case", CASES)
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_knn_bound_is_valid(case, k):
+    """knn_bound must upper-bound the true kth distance² (inf when
+    fewer than k live points are guaranteed in the stop block)."""
+    pts, ids = mk(**case)
+    t = LocalKDTree.build(pts, ids)
+    rng = np.random.default_rng(77)
+    q = rng.integers(0, 1_000_000, size=(64, case["d"]), dtype=np.int64)
+    if len(pts):
+        q[:5] = pts[:5]
+    b = t.knn_bound(q, k)
+    gd, _ = bf.knn(pts, ids, q, k)
+    true_kth = gd[:, k - 1]
+    finite = np.isfinite(b)
+    assert np.all(b[finite] >= true_kth[finite] - 1e-9)
+    if len(pts) >= 2 * k:
+        assert finite.all()  # stop block always has >= 2k >= k points
+
+
+def test_knn_bound_with_tombstones_and_extras():
+    pts, ids = mk(3000, 2, seed=61)
+    t = LocalKDTree.build(pts[:2500], ids[:2500])
+    t = t.with_updates(ins_pts=pts[2500:2560], ins_ids=ids[2500:2560],
+                       del_pts=pts[:200], del_ids=ids[:200])
+    assert len(t.tomb_ids) and len(t.extra_ids)
+    live_p = pts[200:2560]
+    live_i = ids[200:2560]
+    rng = np.random.default_rng(62)
+    q = rng.integers(0, 1_000_000, size=(40, 2), dtype=np.int64)
+    b = t.knn_bound(q, 10)
+    gd, _ = bf.knn(live_p, live_i, q, 10)
+    finite = np.isfinite(b)
+    assert np.all(b[finite] >= gd[finite, 9] - 1e-9)
+    # seeded cold search stays exact under heavy churn
+    td, ti = t.knn(q, 10)
+    np.testing.assert_allclose(td, gd)
