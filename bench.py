@@ -108,6 +108,14 @@ def main() -> None:
             q2 = points.load_query_points(spark, sf_dir, "uniform")
             extras["knn_k10_d2_cells_per_query"] = round(
                 knn_candidates(idx, q2, 10).count() / nq, 2)
+            # visited-work audit (reference knn.csv visited-node column)
+            from kdtree_spark.queries.knn import knn_scan_stats
+            from pyspark.sql import functions as _F
+            row = (knn_scan_stats(idx, q2, 10)
+                   .agg(_F.avg("scanned").alias("s"),
+                        _F.avg("leaves").alias("l")).collect()[0])
+            extras["knn_k10_d2_scanned_pts_per_query"] = round(row["s"], 1)
+            extras["knn_k10_d2_leaves_per_query"] = round(row["l"], 2)
             for dname, getter in (("d3", dq.get_index_d3),
                                   ("d5", dq.get_index_d5)):
                 key = (id(spark), sf_dir, dname)

@@ -120,3 +120,25 @@ def polygon_bbox(verts) -> tuple[int, int, int, int]:
     xs = [v[0] for v in verts]
     ys = [v[1] for v in verts]
     return min(xs), min(ys), max(xs), max(ys)
+
+
+def gen_boxes_bulk(n: int, seed: int = 10) -> np.ndarray:
+    """(n, 5) int64 [box_id, xlo, ylo, xhi, yhi] — vectorized variant of
+    `gen_boxes` for scale-size workloads (1e5-1e6 boxes): same size
+    brackets and determinism guarantees, but drawn with batched numpy
+    calls, so the per-box values differ from gen_boxes' sequential
+    draws. Use gen_boxes for oracle-gated queries (its values are the
+    blessed goldens); use this for throughput/scaling runs where only
+    determinism matters. A 1e6-box gen_boxes loop costs ~14 s of pure
+    driver python; this is ~50 ms (float-scale draws — per-element
+    bounded integers() is rejection-sampled and 100x slower)."""
+    rng = np.random.default_rng(seed)
+    bid = np.arange(n, dtype=np.int64)
+    cls = bid % 3
+    lo = np.array([b[0] for b in _BRACKETS], np.int64)[cls]
+    hi = np.array([b[1] for b in _BRACKETS], np.int64)[cls]
+    w = lo + np.floor(rng.random(n) * (hi - lo)).astype(np.int64)
+    h = lo + np.floor(rng.random(n) * (hi - lo)).astype(np.int64)
+    x0 = np.floor(rng.random(n) * (COORD_LIMIT - w)).astype(np.int64)
+    y0 = np.floor(rng.random(n) * (COORD_LIMIT - h)).astype(np.int64)
+    return np.stack([bid, x0, y0, x0 + w, y0 + h], axis=1)

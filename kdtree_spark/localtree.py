@@ -355,16 +355,26 @@ class LocalKDTree:
             bound = np.minimum(bound, np.partition(d2, k - 1, axis=1)[:, k - 1])
         return bound
 
-    def knn(self, q: np.ndarray, k: int, ub: np.ndarray | None = None):
+    def knn(self, q: np.ndarray, k: int, ub: np.ndarray | None = None,
+            stats: dict | None = None):
         """Exact k nearest neighbours for a batch of queries.
 
         q: (m, d) int64. ub: optional (m,) float64 upper bound on the kth
         distance² (from a prior round) — used only for pruning.
         Returns (dist2 (m,k) float64 sorted, ids (m,k) int64); missing
         slots are (inf, -1). Tie-break: (dist², id) ascending.
+
+        stats: optional dict; when given, per-query work counters are
+        ACCUMULATED into stats["scanned"] (points distance-compared) and
+        stats["leaves"] (leaf blocks visited), both (m,) int64 — the
+        analogue of the reference's visited-node kNN audit column
+        (tests/testFramework.h:505-517). Zero overhead when None.
         """
         q = np.asarray(q, dtype=np.int64)
         m, d = q.shape
+        if stats is not None:
+            stats.setdefault("scanned", np.zeros(m, np.int64))
+            stats.setdefault("leaves", np.zeros(m, np.int64))
         kk = k
         INF = np.inf
         best_d = np.full((m, kk), INF, dtype=np.float64)
@@ -386,6 +396,9 @@ class LocalKDTree:
             # brute merge of a candidate block into best_d/best_i[qsub]
             if len(pidx_ids) == 0 or len(qsub) == 0:
                 return
+            if stats is not None:
+                stats["scanned"][qsub] += len(pidx_ids)
+                stats["leaves"][qsub] += 1
             if tomb is not None:
                 pos = np.searchsorted(tomb, pidx_ids)
                 pos[pos == len(tomb)] = 0

@@ -5,8 +5,10 @@ visiting the sibling subtree only when its bounding-box min-distance
 beats the current kth-best (`query_op/nn_search.hpp:83-126`). Across a
 cluster that sibling-pruning becomes *cell* pruning:
 
-  phase 1  queries cogroup with their HOME cell -> local top-k gives a
-           per-query upper bound ub on the kth distance
+  phase 1  queries cogroup with their HOME cell -> a cheap block-scan
+           probe (LocalKDTree.knn_bound: kth distance within the
+           deepest >=max(2k,128)-point enclosing subtree block) gives a
+           per-query VALID upper bound ub on the kth distance
   phase 2  candidate (query, cell) pairs, fully Spark-side: each query
            geometrically enumerates the grid cells inside its ub-radius
            square (pure numpy on the regular grid — no stats broadcast,
@@ -45,7 +47,8 @@ from ..index import SpatialIndex
 from ..localtree import LocalKDTree
 
 
-def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None):
+def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None,
+               stats: dict | None = None):
     """Best-k over every blob of one cell group; returns (dist2, ids)."""
     m = qpts.shape[0]
     best_d = np.full((m, k), np.inf)
@@ -53,7 +56,7 @@ def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None):
     bound = None if ub is None else np.asarray(ub, np.float64).copy()
     for blob in blobs:
         tree = LocalKDTree.from_bytes(blob)
-        d, i = tree.knn(qpts, k, ub=bound)
+        d, i = tree.knn(qpts, k, ub=bound, stats=stats)
         cat_d = np.concatenate([best_d, d], axis=1)
         cat_i = np.concatenate([best_i, i], axis=1)
         ordr = np.lexsort((cat_i, cat_d), axis=1)[:, :k]
@@ -224,3 +227,35 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "nid",
                     F.col("dist_sq").cast("long").alias("dist_sq")))
+
+
+def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
+                   ) -> DataFrame:
+    """Per-query work counters for the exact kNN join: (qid, scanned,
+    leaves) — points distance-compared and leaf blocks visited across
+    all candidate cells (phase-3 work only; the phase-1 bound probe
+    scans one fixed-size block per query by construction). This is the
+    bench-side analogue of the reference's visited-node kNN audit
+    (tests/testFramework.h:505-517, knn.csv last column); it reruns the
+    search with counting on, so it is for audits, not the hot path."""
+    cc = list(index.coord_cols)
+    cand = knn_candidates(index, queries, k)
+
+    def cell_count(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
+                   ) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return pd.DataFrame(columns=["qid", "scanned", "leaves"])
+        qpts = qpdf[cc].to_numpy(np.int64)
+        ub = qpdf["ub"].to_numpy(np.float64)
+        st: dict = {}
+        _group_knn(qpts, ipdf["blob"], k, ub, stats=st)
+        return pd.DataFrame({"qid": qpdf["qid"].to_numpy(np.int64),
+                             "scanned": st["scanned"],
+                             "leaves": st["leaves"]})
+
+    per_cell = (cand.groupby("cell")
+                .cogroup(index.df.groupby("cell"))
+                .applyInPandas(cell_count, "qid long, scanned long, leaves long"))
+    return (per_cell.groupBy("qid")
+            .agg(F.sum("scanned").alias("scanned"),
+                 F.sum("leaves").alias("leaves")))

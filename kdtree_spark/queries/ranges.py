@@ -27,11 +27,14 @@ from ..localtree import LocalKDTree
 
 
 def _boxes_df(index: SpatialIndex, boxes) -> DataFrame:
-    """boxes: list of (box_id, xlo, ylo, xhi, yhi) -> small DataFrame."""
-    return index.spark.createDataFrame(
-        [(int(b), int(x0), int(y0), int(x1), int(y1))
-         for b, x0, y0, x1, y1 in boxes],
-        "box_id long, bxlo long, bylo long, bxhi long, byhi long")
+    """boxes: sequence of (box_id, xlo, ylo, xhi, yhi) -> DataFrame
+    (Arrow path via pandas — createDataFrame over python tuples is
+    row-at-a-time and stalls the driver for 1e5+ query batches)."""
+    arr = np.asarray(boxes, dtype=np.int64).reshape(-1, 5)
+    pdf = pd.DataFrame({
+        "box_id": arr[:, 0], "bxlo": arr[:, 1], "bylo": arr[:, 2],
+        "bxhi": arr[:, 3], "byhi": arr[:, 4]})
+    return index.spark.createDataFrame(pdf)
 
 
 def _cell_stats_df(index: SpatialIndex) -> DataFrame:
@@ -41,36 +44,79 @@ def _cell_stats_df(index: SpatialIndex) -> DataFrame:
     return index.cell_stats()
 
 
+def _prune_join(index: SpatialIndex, qdf: DataFrame, n_queries: int,
+                cond, ext=("bxlo", "bylo", "bxhi", "byhi")) -> DataFrame:
+    """query-shapes ⋈ cell-stats, pruned. Each shape geometrically
+    enumerates the grid cells its extent `ext` spans (pure integer SQL
+    on the regular grid — the same trick as kNN phase 2), then an
+    EQUI-join on `cell` against the stats table applies the exact
+    data-bbox condition `cond`. No nested-loop join anywhere: a
+    cells x shapes BNLJ streams the post-agg stats table, which AQE
+    coalesces to ONE partition — the whole prune on one task — and is
+    O(cells * shapes) work besides; this is O(overlap pairs), scales
+    with both 1e6-box batches and 1e8-cell grids, and broadcasts
+    whichever equi-join side is smaller (Catalyst/AQE decide).
+
+    Assumes the index's domain contract: coords in [0, COORD_LIMIT)
+    (grid.py docstring), so every populated cell id lies in [0, g²-1]
+    and clipped enumeration misses nothing."""
+    grid = index.grid
+    g, cw = grid.g, grid.cw
+    xlo, ylo, xhi, yhi = ext
+    par = index.spark.sparkContext.defaultParallelism
+    if n_queries > 4 * par:
+        qdf = qdf.repartition(par)
+
+    def clip(c):  # monotone clip => lo<=hi survives, sequence ascends
+        return f"LEAST(GREATEST({c} DIV {cw}, 0), {g - 1})"
+
+    pairs = (qdf
+             .selectExpr("*",
+                         f"explode(sequence({clip(xlo)}, {clip(xhi)})) AS _cx")
+             .selectExpr("*",
+                         f"explode(sequence({clip(ylo)}, {clip(yhi)})) AS _cy")
+             .selectExpr("*", f"_cx * {g} + _cy AS cell")
+             .drop("_cx", "_cy"))
+    return pairs.join(_cell_stats_df(index), "cell").filter(cond)
+
+
 def range_count(index: SpatialIndex, boxes) -> DataFrame:
     """-> (box_id, cnt). Exact, inclusive bounds."""
     bdf = _boxes_df(index, boxes)
-    stats = _cell_stats_df(index)
-    joined = stats.join(
-        F.broadcast(bdf),
+    joined = _prune_join(
+        index, bdf, len(boxes),
         (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
         & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo")))
+    # one cogroup pass handles BOTH cases, so the (box, cell) pair join
+    # is computed once: fully-contained pairs take the cell's stored
+    # count from the stats row (the "contained -> node.size" shortcut,
+    # range_count.hpp:78-80 — no blob is scanned for them); boundary
+    # pairs run the per-cell tree's vectorized count
     contained = ((F.col("xmin") >= F.col("bxlo")) & (F.col("xmax") <= F.col("bxhi"))
                  & (F.col("ymin") >= F.col("bylo")) & (F.col("ymax") <= F.col("byhi")))
-    full = (joined.filter(contained)
-            .groupBy("box_id").agg(F.sum("ccnt").alias("cnt")))
-    partial_pairs = joined.filter(~contained).select(
-        "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell")
+    pairs = joined.withColumn("full", contained).select(
+        "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "ccnt", "full")
 
     def scan(key, bpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(bpdf) == 0 or len(ipdf) == 0:
+        if len(bpdf) == 0:
             return pd.DataFrame(columns=["box_id", "cnt"])
-        qboxes = bpdf[["bxlo", "bylo", "bxhi", "byhi"]].to_numpy(np.int64)
-        total = np.zeros(len(bpdf), np.int64)
-        for blob in ipdf["blob"]:
-            total += LocalKDTree.from_bytes(blob).range_count(qboxes)
+        total = np.where(bpdf["full"].to_numpy(),
+                         bpdf["ccnt"].to_numpy(np.int64), 0)
+        sub = ~bpdf["full"].to_numpy()
+        if sub.any() and len(ipdf):
+            qboxes = bpdf.loc[sub, ["bxlo", "bylo", "bxhi", "byhi"]] \
+                .to_numpy(np.int64)
+            part = np.zeros(int(sub.sum()), np.int64)
+            for blob in ipdf["blob"]:
+                part += LocalKDTree.from_bytes(blob).range_count(qboxes)
+            total[sub] = part
         return pd.DataFrame({"box_id": bpdf["box_id"].to_numpy(np.int64),
                              "cnt": total})
 
-    part = (partial_pairs.groupby("cell")
-            .cogroup(index.df.groupby("cell"))
-            .applyInPandas(scan, "box_id long, cnt long"))
+    all_counts = (pairs.groupby("cell")
+                  .cogroup(index.df.groupby("cell"))
+                  .applyInPandas(scan, "box_id long, cnt long"))
 
-    all_counts = full.unionByName(part)
     # boxes with zero matches must still appear with cnt=0
     return (F.broadcast(bdf.select("box_id"))
             .join(all_counts.groupBy("box_id").agg(F.sum("cnt").alias("c")),
@@ -81,9 +127,8 @@ def range_count(index: SpatialIndex, boxes) -> DataFrame:
 def range_report(index: SpatialIndex, boxes) -> DataFrame:
     """-> (box_id, pid, x, y): every live point inside each box."""
     bdf = _boxes_df(index, boxes)
-    stats = _cell_stats_df(index)
-    pairs = stats.join(
-        F.broadcast(bdf),
+    pairs = _prune_join(
+        index, bdf, len(boxes),
         (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
         & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo"))
     ).select("box_id", "bxlo", "bylo", "bxhi", "byhi", "cell")
@@ -115,10 +160,14 @@ def circle_count(index: SpatialIndex, circles) -> DataFrame:
     Counts points with squared distance <= r² (range_count.hpp:99-131).
     """
     spark = index.spark
-    cdf = spark.createDataFrame(
-        [(int(c), int(x), int(y), int(r)) for c, x, y, r in circles],
-        "circle_id long, cx long, cy long, r long")
-    stats = _cell_stats_df(index)
+    arr = np.asarray(circles, dtype=np.int64).reshape(-1, 4)
+    cdf = spark.createDataFrame(pd.DataFrame(
+        {"circle_id": arr[:, 0], "cx": arr[:, 1], "cy": arr[:, 2],
+         "r": arr[:, 3]}))
+    # circle's bounding box drives the cell enumeration; the exact
+    # min-dist² <= r² test below refines it
+    cdf = cdf.selectExpr("*", "cx - r AS bxlo", "cy - r AS bylo",
+                         "cx + r AS bxhi", "cy + r AS byhi")
     dx = F.greatest(F.col("xmin") - F.col("cx"), F.col("cx") - F.col("xmax"),
                     F.lit(0))
     dy = F.greatest(F.col("ymin") - F.col("cy"), F.col("cy") - F.col("ymax"),
@@ -130,27 +179,30 @@ def circle_count(index: SpatialIndex, circles) -> DataFrame:
                     F.abs(F.col("cy") - F.col("ymax")))
     maxd2 = fx * fx + fy * fy
     r2 = F.col("r") * F.col("r")
-    joined = stats.join(F.broadcast(cdf), mind2 <= r2)
-    full = (joined.filter(maxd2 <= r2)
-            .groupBy("circle_id").agg(F.sum("ccnt").alias("cnt")))
-    partial = joined.filter(maxd2 > r2).select("circle_id", "cx", "cy", "r",
-                                               "cell")
+    joined = _prune_join(index, cdf, len(circles), mind2 <= r2)
+    pairs = joined.withColumn("full", maxd2 <= r2).select(
+        "circle_id", "cx", "cy", "r", "cell", "ccnt", "full")
 
     def scan(key, cpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(cpdf) == 0 or len(ipdf) == 0:
+        if len(cpdf) == 0:
             return pd.DataFrame(columns=["circle_id", "cnt"])
-        centers = cpdf[["cx", "cy"]].to_numpy(np.int64)
-        radii = cpdf["r"].to_numpy(np.float64)
-        total = np.zeros(len(cpdf), np.int64)
-        for blob in ipdf["blob"]:
-            total += LocalKDTree.from_bytes(blob).circle_count(centers, radii)
+        total = np.where(cpdf["full"].to_numpy(),
+                         cpdf["ccnt"].to_numpy(np.int64), 0)
+        sub = ~cpdf["full"].to_numpy()
+        if sub.any() and len(ipdf):
+            centers = cpdf.loc[sub, ["cx", "cy"]].to_numpy(np.int64)
+            radii = cpdf.loc[sub, "r"].to_numpy(np.float64)
+            part = np.zeros(int(sub.sum()), np.int64)
+            for blob in ipdf["blob"]:
+                part += LocalKDTree.from_bytes(blob).circle_count(
+                    centers, radii)
+            total[sub] = part
         return pd.DataFrame({"circle_id": cpdf["circle_id"].to_numpy(np.int64),
                              "cnt": total})
 
-    part = (partial.groupby("cell")
-            .cogroup(index.df.groupby("cell"))
-            .applyInPandas(scan, "circle_id long, cnt long"))
-    all_counts = full.unionByName(part)
+    all_counts = (pairs.groupby("cell")
+                  .cogroup(index.df.groupby("cell"))
+                  .applyInPandas(scan, "circle_id long, cnt long"))
     return (F.broadcast(cdf.select("circle_id"))
             .join(all_counts.groupBy("circle_id").agg(F.sum("cnt").alias("c")),
                   "circle_id", "left")

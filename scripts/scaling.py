@@ -9,8 +9,11 @@ rounds. Each round executes the same compute-dominated workload over
 REP x sf0.1-derived points (default 64 x 600k = 38.4M):
 
   build    two-level index build (shuffle + per-cell kd-tree UDFs)
-  knn      k=10 exact kNN join for a 0.5% query set (~190k queries)
-  range    20,000-box range count (2x the reference's rangeCountFix)
+  knn      k=10 exact kNN join for a 2% query set (~770k queries —
+           large enough that per-stage fixed overheads are noise)
+  range    1,000,000-box range count (100x the reference's
+           rangeCountFix — small batches finish near the per-job latency
+           floor, where measured "efficiency" is scheduling overhead)
 
 Usage:
   python scripts/scaling.py                # both levels + BENCH.md
@@ -31,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REP = int(os.environ.get("SCALING_REP", "64"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 GRID_G = 16
-ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))  # best-of-ROUNDS,
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
+N_BOXES = int(os.environ.get("SCALING_BOXES", "1000000"))  # best-of-ROUNDS,
 # single source of truth for both the loop and the BENCH.md text
 
 
@@ -44,8 +48,11 @@ def run_one(cpus: int) -> dict:
     from kdtree_spark.session import get_spark
     import pandas as pd
 
+    # shuffle partitions scale with the parallelism level, exactly as
+    # they would with executor count on a real cluster (4 tasks/core for
+    # overlap); a fixed count strangles the larger level with task skew
     spark = get_spark(f"scaling-{cpus}", cpus=cpus,
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus * 4, 8))
     # warmup (JVM + python workers), not timed
     spark.range(1_000_000).selectExpr("id % 97 AS g").groupBy("g") \
         .count().count()
@@ -73,9 +80,9 @@ def run_one(cpus: int) -> dict:
     # best-of-ROUNDS per level, so co-tenant noise hits both levels alike.
     # An untimed mini-build first: the first applyInPandas/codegen pass
     # pays one-time worker startup that is not steady-state throughput.
-    q = rep.filter("pid % 199 = 7").selectExpr("pid AS qid", "x", "y")
+    q = rep.filter("pid % 50 = 7").selectExpr("pid AS qid", "x", "y")
     nq = q.count()
-    boxes = fixtures.gen_boxes(20000)  # 2x rangeCountFix scale (H4)
+    boxes = fixtures.gen_boxes_bulk(N_BOXES)  # 100x rangeCountFix (H4)
     warm = SpatialIndex.build(
         spark, rep.limit(50000), grid=Grid(4), n_hint=50000)
     knn_join(warm, q.limit(256), 10).count()
@@ -161,7 +168,7 @@ def main() -> None:
                 for tm, tp, num in (
                         ("build_sec", "build_rows_per_sec", res["rows"]),
                         ("knn_sec", "knn_q_per_sec", res["n_queries"]),
-                        ("range_sec", "range_q_per_sec", 20000)):
+                        ("range_sec", "range_q_per_sec", N_BOXES)):
                     if res[tm] < results[c][tm]:
                         results[c][tm] = res[tm]
                         results[c][tp] = res[tp]
@@ -177,8 +184,8 @@ def main() -> None:
         "",
         f"Workload: {results[lo]['rows']:,} points derived from sf0.1 "
         f"({REP} shifted copies), Grid({GRID_G}) two-level index; "
-        f"kNN k=10 over {results[lo]['n_queries']:,} queries; 20,000-box "
-        f"range count. Levels INTERLEAVED (A/B per round), best-of-"
+        f"kNN k=10 over {results[lo]['n_queries']:,} queries; "
+        f"{N_BOXES:,}-box range count. Levels INTERLEAVED (A/B per round), best-of-"
         f"{ROUNDS} rounds per op (robust to co-tenant noise). Single "
         f"machine, two parallelism levels (local[{lo}] vs local[{hi}]) "
         "standing in for N vs 4N executors per the driver's sandbox "

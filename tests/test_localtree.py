@@ -185,3 +185,31 @@ def test_knn_bound_with_tombstones_and_extras():
     # seeded cold search stays exact under heavy churn
     td, ti = t.knn(q, 10)
     np.testing.assert_allclose(td, gd)
+
+
+@pytest.mark.parametrize("d", [7, 16])
+def test_high_dim_build_and_knn(d):
+    """Reference dim dispatch covers d up to 16 (tests/test.cpp:569-617)."""
+    pts, ids = mk(1500, d, seed=71)
+    t = LocalKDTree.build(pts, ids)
+    rng = np.random.default_rng(72)
+    q = rng.integers(0, 1_000_000, size=(30, d), dtype=np.int64)
+    gd, gi = bf.knn(pts, ids, q, 10)
+    td, ti = t.knn(q, 10)
+    np.testing.assert_allclose(td, gd)
+    np.testing.assert_array_equal(ti, gi)
+
+
+def test_knn_stats_counters():
+    pts, ids = mk(5000, 2, seed=81)
+    t = LocalKDTree.build(pts, ids)
+    q = pts[:100]
+    st = {}
+    td, _ = t.knn(q, 10, stats=st)
+    # every query scanned at least k points and visited >= 1 leaf
+    assert (st["scanned"] >= 10).all() and (st["leaves"] >= 1).all()
+    # pruning works: nobody scans anywhere near the whole tree
+    assert st["scanned"].max() < len(pts) // 2
+    # counters don't perturb results
+    td2, _ = t.knn(q, 10)
+    np.testing.assert_allclose(td, td2)
