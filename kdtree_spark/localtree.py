@@ -52,6 +52,11 @@ LEAF_WRAP = 128
 # at 128 the kNN/range kernels run 2-3x faster than at 32 with identical
 # (exact) results.
 INBALANCE_RATIO = 30  # percent, reference tree_node.hpp:127-131
+# NOTE: a whole-blob brute-scan "crossover" for small query batches was
+# tried and measured 18x SLOWER than the bound-seeded traversal at
+# m=94/n=9400 (scan()'s full-row lexsort merge dominates); the knn_bound
+# seeding already fixes small-batch traversal cost, so there is no brute
+# regime worth keeping.
 
 
 class LocalKDTree:

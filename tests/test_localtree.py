@@ -213,3 +213,15 @@ def test_knn_stats_counters():
     # counters don't perturb results
     td2, _ = t.knn(q, 10)
     np.testing.assert_allclose(td, td2)
+
+
+def test_traversal_path_large_tree():
+    """Blob-scale tree (salted-cell size) vs brute force."""
+    pts, ids = mk(120_000, 2, seed=93)
+    t = LocalKDTree.build(pts, ids)
+    rng = np.random.default_rng(94)
+    q = rng.integers(0, 1_000_000, size=(64, 2), dtype=np.int64)
+    td, ti = t.knn(q, 10)
+    gd, gi = bf.knn(pts, ids, q, 10)
+    np.testing.assert_allclose(td, gd)
+    np.testing.assert_array_equal(ti, gi)
