@@ -668,6 +668,55 @@ def sql_tile_cells() -> str:
     return tile_cell_assign_sql(Grid(GRID_G), fixtures.tiles_values_sql(TILES))
 
 
+# ------------------------------------------------------------ d=16 (B1/Q1)
+
+def get_index_d16(spark, sf_dir) -> SpatialIndex:
+    key = (id(spark), sf_dir, "d16")
+    if key not in _INDEX_CACHE:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.createOrReplaceTempView("_d16_lineitem")
+        pts16 = spark.sql(
+            f"SELECT {points.dimd_select_sql(16)} FROM _d16_lineitem")
+        _INDEX_CACHE[key] = SpatialIndex.build(
+            spark, pts16, grid=Grid(GRID_G), coord_cols=points.dim_cols(16))
+    return _INDEX_CACHE[key]
+
+
+def q_knn_k10_d16(spark, sf_dir) -> DataFrame:
+    """d=16, the reference's max dim config (tests/test.cpp:569-617):
+    grid cells key on the first two dims only, per-cell trees split all
+    16; the full-d blob bbox keeps phase-2 pruning exact (weak at d=16
+    by geometry — the audit metric to watch, not a correctness risk)."""
+    idx = get_index_d16(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_d16q_lineitem")
+    q = spark.sql(
+        f"SELECT {points.dimd_select_sql(16, 'qid')} FROM _d16q_lineitem "
+        f"WHERE {points.QUERY_FILTER_SQL}")
+    return (knn_join(idx, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_knn_k10_d16() -> str:
+    cols = points.dim_cols(16)
+    qsel = ", ".join([f"pid AS qid"] + [f"{c} AS q_{c}" for c in cols])
+    dist = "\n           + ".join(
+        f"(pts.{c} - q.q_{c}) * (pts.{c} - q.q_{c})" for c in cols)
+    return f"""
+WITH pts AS (SELECT {points.dimd_select_sql(16)} FROM lineitem),
+q AS (SELECT {qsel} FROM pts WHERE (pid % 101 = 7)),
+d AS (SELECT q.qid, pts.pid AS nid,
+             {dist} AS dist_sq
+      FROM q CROSS JOIN pts),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -691,6 +740,7 @@ QUERIES = {
     "delete_ratio_sweep": q_delete_ratio_sweep,
     "incr_build_and_query": q_incr_build_and_query,
     "knn_k10_d5": q_knn_k10_d5,
+    "knn_k10_d16": q_knn_k10_d16,
     "sliding_window_count": q_sliding_window_count,
     "knn_graph": q_knn_graph,
     "incremental_build": q_incremental_build,
@@ -720,6 +770,7 @@ ORACLES = {
     "delete_ratio_sweep": sql_delete_ratio_sweep(),
     "incr_build_and_query": sql_incr_build_and_query(),
     "knn_k10_d5": sql_knn_k10_d5(),
+    "knn_k10_d16": sql_knn_k10_d16(),
     "sliding_window_count": sql_sliding_window_count(),
     "knn_graph": sql_knn_graph(),
     "incremental_build": sql_incremental_build(),

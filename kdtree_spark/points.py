@@ -59,6 +59,36 @@ def d5_select_sql(id_alias: str = "pid") -> str:
     return ", ".join([f"{PID_SQL} AS {id_alias}"]
                      + [f"{e} AS {c}" for c, e in zip(D5_COLS, D5_EXPRS)])
 
+
+# arbitrary-d configurations (reference dim dispatch covers d in
+# {2,3,5,7,9,10,12,16}, tests/test.cpp:569-617): every dim is the same
+# multiplicative-scramble family with its own (modulus, multiplier)
+# prime pair; the first five pairs are exactly D5's, so d<=5 derivations
+# are unchanged
+_DIM_PRIMES = [
+    (1000003, 7919), (999983, 104729), (999979, 7907), (999961, 6011),
+    (999959, 4001), (999953, 104717), (999931, 9973), (999917, 11939),
+    (999907, 21881), (999883, 32749), (999863, 44683), (999853, 57859),
+    (999809, 71411), (999773, 86813), (999769, 99991), (999763, 30011),
+]
+
+
+def dim_cols(d: int) -> tuple:
+    names = list(D5_COLS) + [f"c{i}" for i in range(5, d)]
+    return tuple(names[:d])
+
+
+def dim_exprs(d: int) -> tuple:
+    assert 2 <= d <= len(_DIM_PRIMES)
+    return tuple(f"((({PID_SQL} % {p}) * {m}) % 1000000)"
+                 for p, m in _DIM_PRIMES[:d])
+
+
+def dimd_select_sql(d: int, id_alias: str = "pid") -> str:
+    return ", ".join([f"{PID_SQL} AS {id_alias}"]
+                     + [f"{e} AS {c}"
+                        for c, e in zip(dim_cols(d), dim_exprs(d))])
+
 # time-slice label for the sliding-window workload (insertOsmByTime analogue,
 # tests/testFramework.h:818-870): 10 slices keyed off pid
 SLICE_SQL = f"({PID_SQL} % 10)"

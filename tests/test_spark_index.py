@@ -196,3 +196,35 @@ def test_knn_d3_vs_bruteforce(spark, sf_dir):
         order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:5]
         assert list(grp.nid) == [ids[i] for i in order], qid
         assert list(grp.dist_sq) == [int(d2[i]) for i in order], qid
+
+
+def test_knn_d16_vs_bruteforce(spark, sf_dir):
+    """d=16 (reference max dim, tests/test.cpp:569-617): grid keys on
+    2 dims, trees split all 16; full-d bbox pruning stays exact."""
+    import numpy as np
+    from kdtree_spark import points as P
+    from kdtree_spark.grid import Grid
+    from kdtree_spark.index import SpatialIndex
+    from kdtree_spark.queries.knn import knn_join
+
+    cols = list(P.dim_cols(16))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_t16_li")
+    pts16 = spark.sql(f"SELECT {P.dimd_select_sql(16)} FROM _t16_li")
+    idx = SpatialIndex.build(spark, pts16, grid=Grid(4),
+                             coord_cols=tuple(cols))
+    q = spark.sql(
+        f"SELECT {P.dimd_select_sql(16, 'qid')} FROM _t16_li "
+        f"WHERE {P.QUERY_FILTER_SQL}").limit(15)
+    got = (knn_join(idx, q, 5).toPandas()
+           .sort_values(["qid", "rank"]).reset_index(drop=True))
+    allp = pts16.toPandas()
+    m = allp[cols].to_numpy(np.int64)
+    ids = allp["pid"].to_numpy(np.int64)
+    qp = q.toPandas()
+    for qid, grp in got.groupby("qid"):
+        qrow = qp[qp.qid == qid].iloc[0]
+        d2 = ((m - qrow[cols].to_numpy(np.int64)) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:5]
+        assert list(grp.nid) == [ids[i] for i in order], qid
+        assert list(grp.dist_sq) == [int(d2[i]) for i in order], qid
