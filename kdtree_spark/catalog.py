@@ -1,0 +1,178 @@
+"""Iceberg-style snapshot persistence for `SpatialIndex` tables.
+
+The north rule asks for Iceberg tables with checkpoint-resume and
+per-partition lineage. No Iceberg runtime jars exist in this
+environment, so this module implements the public Iceberg *semantics*
+directly over parquet + JSON (spec: iceberg.apache.org/spec — immutable
+data files, per-snapshot manifests listing files, an append-only
+snapshot log, and an atomically-swapped CURRENT pointer):
+
+- every commit is a SNAPSHOT: an immutable set of bucket-partitioned
+  parquet files plus a manifest naming exactly the files that make up
+  the table at that version;
+- an INCREMENTAL commit (after `SpatialIndex.update`) rewrites only the
+  buckets whose cells changed and re-references the parent snapshot's
+  files for everything else — at 10^12 rows a 0.01% batch checkpoint
+  costs O(changed partitions), never O(table);
+- `load(snapshot_id=...)` time-travels to any retained snapshot;
+  `load()` follows CURRENT — so a restarted pipeline resumes from the
+  last committed version (checkpoint-resume), and the snapshot log IS
+  the lineage record (each entry names its parent, operation and
+  row/cell audit counts).
+
+The reference has no persistence story (a process-lifetime in-memory
+tree); this is the Spark-native replacement for "rebuild on restart".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .grid import Grid
+from .index import SpatialIndex
+
+
+class SnapshotStore:
+    """Snapshot log + data files for one index table under `path`."""
+
+    def __init__(self, path: str, nbuckets: int = 64):
+        self.path = path
+        self.nb = nbuckets
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+
+    # ------------------------------------------------------------- metadata
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, "snapshot-log.json")
+
+    def log(self) -> list[dict]:
+        """Append-only snapshot history (oldest first)."""
+        if not os.path.exists(self._log_path()):
+            return []
+        with open(self._log_path()) as f:
+            return json.load(f)
+
+    def current(self) -> str | None:
+        p = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip()
+
+    def _manifest_path(self, sid: str) -> str:
+        return os.path.join(self.path, "snapshots", f"snap-{sid}",
+                            "manifest.json")
+
+    def _manifest(self, sid: str) -> dict:
+        with open(self._manifest_path(sid)) as f:
+            return json.load(f)
+
+    def _publish(self, sid: str, entry: dict) -> None:
+        """Append to the log and swap CURRENT — both via write-to-temp +
+        atomic rename, so a crash leaves the previous version intact."""
+        log = self.log() + [entry]
+        tmp = self._log_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=1)
+        os.rename(tmp, self._log_path())
+        cur = os.path.join(self.path, "CURRENT")
+        with open(cur + ".tmp", "w") as f:
+            f.write(sid)
+        os.rename(cur + ".tmp", cur)
+
+    # --------------------------------------------------------------- commit
+
+    def commit(self, index: SpatialIndex, parent: str | None = None,
+               touched_cells=None) -> str:
+        """Write a snapshot of `index`; returns the snapshot id.
+
+        Full commit (parent=None): every bucket is written.
+        Incremental commit (parent + touched_cells, or parent alone when
+        the index was produced by `SpatialIndex.update`, which records
+        its touched-cell set): only buckets holding touched cells are
+        written; untouched buckets re-reference the parent's files.
+        """
+        sid = uuid.uuid4().hex[:12]
+        snapdir = os.path.join(self.path, "snapshots", f"snap-{sid}")
+        datadir = os.path.join(snapdir, "data")
+        if touched_cells is None and parent is not None:
+            tdf = getattr(index, "touched_cells_df", None)
+            if tdf is not None:
+                touched_cells = [r["cell"] for r in tdf.collect()]
+        df = index.df.withColumn(
+            "bucket", F.pmod(F.col("cell"), F.lit(self.nb)).cast("int"))
+
+        if parent is not None and touched_cells is not None:
+            pman = self._manifest(parent)
+            buckets = {int(b): p for b, p in pman["buckets"].items()}
+            dirty = sorted({int(c) % self.nb for c in touched_cells})
+            out = df.filter(F.col("bucket").isin(dirty))
+        else:
+            buckets = {}
+            dirty = list(range(self.nb))
+            out = df
+        out.write.mode("overwrite").partitionBy("bucket").parquet(datadir)
+        for b in dirty:
+            bdir = os.path.join(datadir, f"bucket={b}")
+            # partitionBy only materializes non-empty buckets; an empty
+            # dirty bucket means "no rows here at this version"
+            buckets[b] = (os.path.relpath(bdir, self.path)
+                          if os.path.isdir(bdir) else None)
+
+        row = index.df.agg(F.sum("cnt").alias("t"), F.count("*").alias("c")
+                           ).collect()[0]
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "operation": index.manifest.get("kind", "build"),
+            "grid_g": index.grid.g,
+            "coord_cols": list(index.coord_cols),
+            "nbuckets": self.nb,
+            "total_rows": int(row["t"] or 0),
+            "cells": int(row["c"]),
+            "buckets": {str(b): p for b, p in buckets.items()},
+            "buckets_written": len(dirty),
+        }
+        os.makedirs(snapdir, exist_ok=True)
+        with open(self._manifest_path(sid), "w") as f:
+            json.dump(manifest, f, indent=1)
+        # audit before publish: the manifest's files must read back to
+        # exactly the committed cell count (write-audit-publish)
+        back = self._read(index.spark, manifest).count()
+        assert back == manifest["cells"], (back, manifest["cells"])
+        self._publish(sid, {
+            "snapshot_id": sid, "parent_id": parent,
+            "operation": manifest["operation"], "ts": time.time(),
+            "total_rows": manifest["total_rows"], "cells": manifest["cells"],
+            "buckets_written": len(dirty),
+        })
+        return sid
+
+    # ----------------------------------------------------------------- load
+
+    def _read(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        paths = sorted({os.path.join(self.path, p)
+                        for p in manifest["buckets"].values()
+                        if p is not None})
+        return spark.read.parquet(*paths)
+
+    def load(self, spark: SparkSession,
+             snapshot_id: str | None = None) -> SpatialIndex:
+        """CURRENT by default; pass a snapshot id to time-travel."""
+        sid = snapshot_id or self.current()
+        if sid is None:
+            raise FileNotFoundError(f"no CURRENT snapshot under {self.path}")
+        man = self._manifest(sid)
+        df = self._read(spark, man)
+        idx_manifest = dict(kind="load", snapshot_id=sid,
+                            cells=man["cells"], grid_g=man["grid_g"],
+                            version=sid[:8])
+        return SpatialIndex(spark, Grid(int(man["grid_g"])), df,
+                            idx_manifest,
+                            coord_cols=tuple(man["coord_cols"]))

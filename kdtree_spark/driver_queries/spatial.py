@@ -668,6 +668,46 @@ def sql_tile_cells() -> str:
     return tile_cell_assign_sql(Grid(GRID_G), fixtures.tiles_values_sql(TILES))
 
 
+# ----------------------------------------------------- snapshot round-trip
+
+def q_snapshot_roundtrip(spark, sf_dir) -> DataFrame:
+    """Iceberg-semantics persistence gate (catalog.SnapshotStore): full
+    commit -> batch insert -> INCREMENTAL commit (only touched buckets
+    rewritten) -> load(CURRENT) -> range counts. The counts come from
+    the re-read snapshot files, so the gate proves the checkpoint
+    round-trip end to end, not just in-memory state."""
+    import tempfile
+    from ..catalog import SnapshotStore
+    # fresh index (not the shared cache): updates must not leak into
+    # other gates' cached index
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    idx = SpatialIndex.build(spark, pts, grid=Grid(GRID_G))
+    store = SnapshotStore(tempfile.mkdtemp(prefix="snapstore-"))
+    base = store.commit(idx)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_snap_lineitem")
+    ins = spark.sql(points.insert_batch_sql("_snap_lineitem"))
+    idx2 = idx.update(inserts=ins)
+    store.commit(idx2, parent=base)
+    loaded = store.load(spark)  # CURRENT
+    return range_count(loaded, BOXES_SMALL)
+
+
+def sql_snapshot_roundtrip() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    return f"""
+WITH allpts AS (
+  SELECT pid, x, y FROM ({_pts_sql()})
+  UNION ALL
+  SELECT pid, x, y FROM ({points.insert_batch_sql('lineitem')})
+)
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN allpts p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
 # ------------------------------------------------------------ d=16 (B1/Q1)
 
 def get_index_d16(spark, sf_dir) -> SpatialIndex:
@@ -741,6 +781,7 @@ QUERIES = {
     "incr_build_and_query": q_incr_build_and_query,
     "knn_k10_d5": q_knn_k10_d5,
     "knn_k10_d16": q_knn_k10_d16,
+    "snapshot_roundtrip": q_snapshot_roundtrip,
     "sliding_window_count": q_sliding_window_count,
     "knn_graph": q_knn_graph,
     "incremental_build": q_incremental_build,
@@ -771,6 +812,7 @@ ORACLES = {
     "incr_build_and_query": sql_incr_build_and_query(),
     "knn_k10_d5": sql_knn_k10_d5(),
     "knn_k10_d16": sql_knn_k10_d16(),
+    "snapshot_roundtrip": sql_snapshot_roundtrip(),
     "sliding_window_count": sql_sliding_window_count(),
     "knn_graph": sql_knn_graph(),
     "incremental_build": sql_incremental_build(),

@@ -271,8 +271,13 @@ class SpatialIndex:
         manifest = dict(kind="update", base_version=self.manifest.get("version"),
                         cells=ncells, wall_sec=time.time() - t0,
                         coord_cols=cc, version=str(uuid.uuid4())[:8])
-        return SpatialIndex(self.spark, grid, new_df, manifest,
-                            coord_cols=self.coord_cols)
+        new = SpatialIndex(self.spark, grid, new_df, manifest,
+                           coord_cols=self.coord_cols)
+        # the touched-cell set (O(batch), never O(index)) lets an
+        # incremental snapshot commit (catalog.SnapshotStore) rewrite
+        # only the buckets this update changed
+        new.touched_cells_df = touched
+        return new
 
     def unpersist(self) -> None:
         """Release this version's cached blob table (streaming indexers

@@ -1,0 +1,73 @@
+"""Snapshot-store tests: full/incremental commits, file-level reuse,
+time travel, CURRENT resume — the Iceberg-semantics layer (catalog.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kdtree_spark import points
+from kdtree_spark.catalog import SnapshotStore
+from kdtree_spark.grid import Grid
+from kdtree_spark.index import SpatialIndex
+from kdtree_spark.queries.knn import knn_join
+
+
+@pytest.fixture(scope="module")
+def store_env(spark, sf_dir, tmp_path_factory):
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    idx = SpatialIndex.build(spark, pts, grid=Grid(4))
+    path = str(tmp_path_factory.mktemp("snapstore"))
+    return spark, sf_dir, idx, SnapshotStore(path, nbuckets=8)
+
+
+def test_full_commit_and_load(store_env):
+    spark, sf_dir, idx, store = store_env
+    sid = store.commit(idx)
+    assert store.current() == sid
+    back = store.load(spark)
+    assert back.df.count() == idx.df.count()
+    assert back.grid.g == idx.grid.g
+    v = back.validate()
+    assert v["total"] == idx.validate()["total"]
+
+
+def test_incremental_commit_reuses_untouched_buckets(store_env):
+    spark, sf_dir, idx, store = store_env
+    parent = store.current() or store.commit(idx)
+    n0 = idx.validate()["total"]
+    ins = spark.createDataFrame(
+        [(10**15 + i, 11 + i, 13 + 2 * i) for i in range(40)],
+        "pid long, x long, y long")  # all land near the origin cell
+    idx2 = idx.update(inserts=ins)
+    sid2 = store.commit(idx2, parent=parent)
+    man = store._manifest(sid2)
+    # only the touched buckets were rewritten; the rest reference the
+    # parent snapshot's files (file-level reuse)
+    assert 0 < man["buckets_written"] < store.nb
+    reused = [p for p in man["buckets"].values()
+              if p is not None and f"snap-{parent}" in p]
+    fresh = [p for p in man["buckets"].values()
+             if p is not None and f"snap-{sid2}" in p]
+    assert reused and fresh
+    # the new snapshot reflects the update...
+    back2 = store.load(spark, sid2)
+    assert back2.validate()["total"] == n0 + 40
+    # ...and time travel to the parent still sees the original table
+    back1 = store.load(spark, parent)
+    assert back1.validate()["total"] == n0
+    # CURRENT resume points at the latest commit
+    assert store.current() == sid2
+    # lineage log: append-only with parent links
+    log = store.log()
+    assert [e["snapshot_id"] for e in log][-2:] == [parent, sid2]
+    assert log[-1]["parent_id"] == parent
+
+
+def test_loaded_snapshot_answers_queries(store_env):
+    spark, sf_dir, idx, store = store_env
+    back = store.load(spark)  # CURRENT (post-update snapshot)
+    q = (points.load_query_points(spark, sf_dir, "uniform").limit(10))
+    res = knn_join(back, q, 3).toPandas()
+    assert set(res["rank"]) == {1, 2, 3}
+    assert len(res) == 30
