@@ -75,3 +75,43 @@ def test_stream_checkpoint_resume(spark, sf_dir, tmp_path):
     pts = points.load_points(spark, sf_dir, "varden")
     assert n1 == pts.filter("slice < 3").count()
     assert ix3.total_live() == pts.filter("slice IN (3, 4)").count()
+
+
+def test_stream_state_restore(spark, sf_dir, tmp_path):
+    """With state_dir, a restarted stream restores the full window —
+    offsets AND contents — and keeps evicting correctly."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    pts = points.load_points(spark, sf_dir, "varden")
+
+    _write_slices(spark, sf_dir, src, range(3))
+    ix1 = run_file_stream(spark, src, ckpt, grid=Grid(4), window_len=5,
+                          state_dir=state)
+    assert ix1.live_slices == [0, 1, 2]
+
+    # restart: slices 3..6 arrive; window_len=5 -> live = 2..6
+    _write_slices(spark, sf_dir, src, range(3, 7))
+    ix2 = run_file_stream(spark, src, ckpt, grid=Grid(4), window_len=5,
+                          state_dir=state)
+    assert ix2.live_slices == [2, 3, 4, 5, 6]
+    assert ix2.total_live() == pts.filter("slice BETWEEN 2 AND 6").count()
+
+    # third restart with no new files: state intact, nothing processed
+    ix3 = run_file_stream(spark, src, ckpt, grid=Grid(4), window_len=5,
+                          state_dir=state)
+    assert ix3.live_slices == [2, 3, 4, 5, 6]
+    assert ix3.total_live() == pts.filter("slice BETWEEN 2 AND 6").count()
+
+    # the snapshot log records one incremental commit per slice
+    assert len(ix3._store.log()) == 7
+    # range counts from the restored window match brute force
+    boxes = fixtures.gen_boxes(8)
+    got = (range_count(ix3.index, boxes).toPandas()
+           .set_index("box_id").cnt)
+    live = pts.filter("slice BETWEEN 2 AND 6").toPandas()
+    for bid, x0, y0, x1, y1 in boxes:
+        exp = ((live.x >= x0) & (live.x <= x1)
+               & (live.y >= y0) & (live.y <= y1)).sum()
+        assert got[bid] == exp, bid
