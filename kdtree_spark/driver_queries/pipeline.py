@@ -287,6 +287,12 @@ def q_ann_srp_lsh(spark, sf_dir):
     return ann.srp_topk(_emb(spark, sf_dir), ANN_QUERY_FILTER, 10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Approximate (inverted-file / coarse-centroid) variant — rows-only
+    driver check; recall asserted in tests/test_pipeline.py."""
+    return ann.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_FILTER, 10)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -303,6 +309,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_srp_lsh": q_ann_srp_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
@@ -318,5 +325,6 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
-    # ann_srp_lsh: approximate -> intentionally no oracle (rows-only)
+    # ann_srp_lsh, ann_ivf: approximate -> intentionally no oracle
+    # (rows-only); recall asserted in pytest
 }

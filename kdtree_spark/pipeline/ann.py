@@ -297,3 +297,108 @@ def srp_topk(emb: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", "dot", "na", "nb", "cos", "rank"))
+
+
+# IVF (inverted-file) ANN — the centroid-partition scale path, the
+# classic alternative to srp_topk's LSH buckets: a coarse quantizer of
+# NLIST centroids partitions the base vectors into inverted lists; a
+# query probes its NPROBE closest lists and re-ranks the union exactly.
+# Training is a deterministic driver-side Lloyd run over a FIXED-SIZE
+# sample (O(sample), never O(table)); assignment and probing are
+# Arrow-batched mapInPandas with the centroid matrix captured in the
+# closure (a few KB — broadcast-by-closure, no join).
+
+NLIST = 64       # inverted lists (coarse centroids)
+NPROBE = 8       # lists probed per query
+IVF_SAMPLE = 2048
+IVF_ITERS = 10
+
+
+def ivf_centroids(emb: DataFrame) -> np.ndarray:
+    """(NLIST, dim) float64, unit-normalized. Deterministic: the sample
+    is the IVF_SAMPLE lowest values of a fixed multiplicative scramble
+    of vec_id, k-means++-free Lloyd with first-distinct init, cosine
+    (= dot on normalized) metric."""
+    samp = (emb.select("vec_id", "embedding")
+            .withColumn("h", F.pmod(F.col("vec_id") * F.lit(2654435761),
+                                    F.lit(1_000_003)))
+            .orderBy("h", "vec_id").limit(IVF_SAMPLE))
+    m = np.stack(samp.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    m = m[norms > 0] / norms[norms > 0, None]
+    k = min(NLIST, len(m))
+    cent = m[:k].copy()
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for j in range(k):
+            sel = m[assign == j]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[j] = v / n
+    return cent
+
+
+def _list_assign(cent: np.ndarray, topn: int):
+    """mapInPandas generator factory: (vec_id, embedding) -> one row per
+    probed list (topn=1 for base assignment, NPROBE for queries)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scores = m @ cent.T
+            if topn == 1:
+                lists = np.argmax(scores, axis=1)[:, None]
+            else:
+                t = min(topn, scores.shape[1])
+                lists = np.argsort(-scores, axis=1)[:, :t]
+            n, t = lists.shape
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), t),
+                "list_id": lists.ravel().astype(np.int64)})
+    return gen
+
+
+def ivf_topk(emb: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
+    """Approximate cosine top-k via inverted lists; output schema
+    matches cosine_topk/srp_topk (rank may differ on recall misses —
+    rows-only driver check + recall test in pytest, like srp_topk)."""
+    cent = ivf_centroids(emb)
+    base_lists = emb.select("vec_id", "embedding").mapInPandas(
+        _list_assign(cent, 1), "vec_id long, list_id long")
+    base = (emb.select("vec_id", "embedding").join(base_lists, "vec_id")
+            .select(F.col("vec_id").alias("nid"),
+                    F.col("embedding").alias("n_emb"), "list_id"))
+    qdf = emb.filter(query_filter).select("vec_id", "embedding")
+    q_lists = qdf.mapInPandas(
+        _list_assign(cent, NPROBE), "vec_id long, list_id long")
+    q = (qdf.join(q_lists, "vec_id")
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("q_emb"), "list_id"))
+    cand = (base.join(q, "list_id")
+            .filter(F.col("qid") != F.col("nid")))
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = _quantize(pdf["q_emb"])
+            b = _quantize(pdf["n_emb"])
+            yield pd.DataFrame({"qid": pdf["qid"], "nid": pdf["nid"],
+                                "dot": (a * b).sum(axis=1),
+                                "na": (a * a).sum(axis=1),
+                                "nb": (b * b).sum(axis=1)})
+
+    scored = cand.mapInPandas(
+        rerank, "qid long, nid long, dot long, na long, nb long").distinct()
+    scored = scored.withColumn(
+        "cos",
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "dot", "na", "nb", "cos", "rank"))

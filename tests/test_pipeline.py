@@ -205,3 +205,34 @@ def test_neardup_pairs_threshold(spark):
     for _, r in got.iterrows():
         assert labels[r.da] == labels[r.db]
         assert r.cos >= 0.95
+
+
+def test_ivf_recall_on_clusters(spark):
+    emb = _clustered_emb(spark)
+    k = 5
+    got = ann.ivf_topk(emb, "vec_id % 10 = 3", k).toPandas()
+    exp = _brute_topk(emb.toPandas(), sorted(set(range(3, 100, 10))), k)
+    hits = total = 0
+    for q, true_k in exp.items():
+        found = set(got[got.qid == q].nid)
+        hits += len(found & set(true_k))
+        total += k
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+    # reported scores are exact int-quantized cosines (same contract as
+    # srp_topk: approximation lives only in candidate selection)
+    pdf = emb.toPandas()
+    m = np.floor(np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+                 * QUANT).astype(np.int64)
+    ids = pdf.vec_id.to_numpy()
+    for _, r in got.head(20).iterrows():
+        a = m[np.where(ids == r.qid)[0][0]]
+        b = m[np.where(ids == r.nid)[0][0]]
+        assert int((a * b).sum()) == int(r["dot"])
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = _clustered_emb(spark)
+    c1 = ann.ivf_centroids(emb)
+    c2 = ann.ivf_centroids(emb)
+    np.testing.assert_array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
