@@ -114,15 +114,75 @@ def q_image_decode_stats(spark, sf_dir) -> DataFrame:
                     .alias("mean_lum_c")))
 
 
+# --------------------------------------------------- audio/video payload
+
+def get_media(spark, sf_dir):
+    from .. import media as md
+    key = (id(spark), sf_dir, "media")
+    if key not in _IMG_CACHE:
+        _IMG_CACHE[key] = md.synth_media(spark, sf_dir).cache()
+    return _IMG_CACHE[key]
+
+
+def q_media_meta(spark, sf_dir) -> DataFrame:
+    """Metadata projection of the synthesized audio/video table — kind,
+    codec, duration, fps/sample-rate all derive arithmetically from
+    (doc_id, text) -> exact oracle (media.py derivation contract)."""
+    m = get_media(spark, sf_dir)
+    return m.select(
+        "media_id", "kind", "fmt", "duration_ms", "fps", "sample_rate",
+        F.length("caption").alias("caption_len"),
+        F.md5("caption").alias("caption_md5"))
+
+
+def _sql_media_meta() -> str:
+    from .. import media as md
+    return f"""
+SELECT printf('med-%012d', doc_id) AS media_id,
+       {md.KIND_SQL} AS kind,
+       CASE WHEN doc_id % 2 = 0
+            THEN (CASE WHEN (doc_id // 2) % 2 = 0 THEN 'rawv'
+                       ELSE 'rawvz' END)
+            ELSE (CASE WHEN (doc_id // 2) % 2 = 0 THEN 'pcm16'
+                       ELSE 'pcmz' END)
+       END AS fmt,
+       CAST({md.DUR_SQL} AS BIGINT) AS duration_ms,
+       CAST({md.FPS_SQL} AS BIGINT) AS fps,
+       CAST({md.SR_SQL} AS BIGINT) AS sample_rate,
+       CAST(length(text) AS INT) AS caption_len,
+       md5(text) AS caption_md5
+FROM documents"""
+
+
+def q_video_frame_sample(spark, sf_dir) -> DataFrame:
+    """Frame sampling every 100 ms over every video (content depends on
+    pixel bytes -> rows-only; exactness vs a pure-python reference is
+    asserted in tests/test_media.py)."""
+    from .. import media as md
+    return md.frame_sample(get_media(spark, sf_dir), every_ms=100)
+
+
+def q_audio_features(spark, sf_dir) -> DataFrame:
+    """Windowed integer energy / zero-crossings over every audio row
+    (PCM-dependent -> rows-only; pytest asserts exactness)."""
+    from .. import media as md
+    return md.audio_features(get_media(spark, sf_dir), win=256)
+
+
 QUERIES = {
     "image_meta": q_image_meta,
     "image_knn": q_image_knn,
     "image_phash_dedup": q_image_phash_dedup,
     "image_decode_stats": q_image_decode_stats,
+    "media_meta": q_media_meta,
+    "video_frame_sample": q_video_frame_sample,
+    "audio_features": q_audio_features,
 }
 
 ORACLES = {
     "image_meta": SQL_IMAGE_META,
     "image_knn": SQL_IMAGE_KNN,
-    # phash/decode queries depend on pixel bytes -> rows-only by design
+    "media_meta": _sql_media_meta(),
+    # phash/decode/frame/PCM queries depend on payload bytes ->
+    # rows-only by design
 }
