@@ -314,11 +314,12 @@ IVF_SAMPLE = 2048
 IVF_ITERS = 10
 
 
-def ivf_centroids(emb: DataFrame) -> np.ndarray:
-    """(NLIST, dim) float64, unit-normalized. Deterministic: the sample
+def ivf_centroids(emb: DataFrame, nlist: int = NLIST) -> np.ndarray:
+    """(nlist, dim) float64, unit-normalized. Deterministic: the sample
     is the IVF_SAMPLE lowest values of a fixed multiplicative scramble
     of vec_id, k-means++-free Lloyd with first-distinct init, cosine
-    (= dot on normalized) metric."""
+    (= dot on normalized) metric. At corpus scale pick nlist ~ sqrt(n)
+    (and IVF_SAMPLE ~ 40*nlist) so lists stay executor-sized."""
     samp = (emb.select("vec_id", "embedding")
             .withColumn("h", F.pmod(F.col("vec_id") * F.lit(2654435761),
                                     F.lit(1_000_003)))
@@ -326,7 +327,7 @@ def ivf_centroids(emb: DataFrame) -> np.ndarray:
     m = np.stack(samp.toPandas()["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(m, axis=1)
     m = m[norms > 0] / norms[norms > 0, None]
-    k = min(NLIST, len(m))
+    k = min(nlist, len(m))
     cent = m[:k].copy()
     for _ in range(IVF_ITERS):
         assign = np.argmax(m @ cent.T, axis=1)
@@ -361,11 +362,12 @@ def _list_assign(cent: np.ndarray, topn: int):
     return gen
 
 
-def ivf_topk(emb: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
+def ivf_topk(emb: DataFrame, query_filter: str, k: int = 10,
+             nlist: int = NLIST, nprobe: int = NPROBE) -> DataFrame:
     """Approximate cosine top-k via inverted lists; output schema
     matches cosine_topk/srp_topk (rank may differ on recall misses —
     rows-only driver check + recall test in pytest, like srp_topk)."""
-    cent = ivf_centroids(emb)
+    cent = ivf_centroids(emb, nlist)
     base_lists = emb.select("vec_id", "embedding").mapInPandas(
         _list_assign(cent, 1), "vec_id long, list_id long")
     base = (emb.select("vec_id", "embedding").join(base_lists, "vec_id")
@@ -373,7 +375,7 @@ def ivf_topk(emb: DataFrame, query_filter: str, k: int = 10) -> DataFrame:
                     F.col("embedding").alias("n_emb"), "list_id"))
     qdf = emb.filter(query_filter).select("vec_id", "embedding")
     q_lists = qdf.mapInPandas(
-        _list_assign(cent, NPROBE), "vec_id long, list_id long")
+        _list_assign(cent, nprobe), "vec_id long, list_id long")
     q = (qdf.join(q_lists, "vec_id")
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("q_emb"), "list_id"))
