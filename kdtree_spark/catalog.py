@@ -45,6 +45,14 @@ class SnapshotStore:
         self.path = path
         self.nb = nbuckets
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        # a store's bucketing is fixed at its first commit: incremental
+        # commits key dirty buckets as cell % nb, so mixing bucket counts
+        # across snapshots would duplicate cells between a retained
+        # parent file and a new dirty file. Reopening an existing store
+        # adopts the recorded count, whatever was passed.
+        cur = self.current()
+        if cur is not None:
+            self.nb = int(self._manifest(cur)["nbuckets"])
 
     # ------------------------------------------------------------- metadata
 
@@ -110,6 +118,10 @@ class SnapshotStore:
 
         if parent is not None and touched_cells is not None:
             pman = self._manifest(parent)
+            if int(pman["nbuckets"]) != self.nb:
+                raise ValueError(
+                    f"bucket-count mismatch: parent snapshot has "
+                    f"nbuckets={pman['nbuckets']}, store uses {self.nb}")
             buckets = {int(b): p for b, p in pman["buckets"].items()}
             dirty = sorted({int(c) % self.nb for c in touched_cells})
             out = df.filter(F.col("bucket").isin(dirty))

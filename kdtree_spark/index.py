@@ -268,6 +268,16 @@ class SpatialIndex:
         # (the manifest records the lineage for the checkpoint story).
         new_df = new_blobs.unionByName(untouched).localCheckpoint(eager=True)
         ncells = new_df.count()
+        # handle to the checkpoint's materialized RDD (the LogicalRDD the
+        # checkpointed frame wraps — queryExecution().toRdd() is only a
+        # wrapper over it): DataFrame.unpersist is a cache-manager call
+        # and does NOT free localCheckpoint blocks, so unpersist() below
+        # releases them through this instead of waiting for
+        # nondeterministic GC + ContextCleaner
+        try:
+            ckpt_rdd = new_df._jdf.queryExecution().logical().rdd()
+        except Exception:
+            ckpt_rdd = None
         manifest = dict(kind="update", base_version=self.manifest.get("version"),
                         cells=ncells, wall_sec=time.time() - t0,
                         coord_cols=cc, version=str(uuid.uuid4())[:8])
@@ -277,17 +287,28 @@ class SpatialIndex:
         # incremental snapshot commit (catalog.SnapshotStore) rewrite
         # only the buckets this update changed
         new.touched_cells_df = touched
+        new._ckpt_rdd = ckpt_rdd
         return new
 
     def unpersist(self) -> None:
-        """Release this version's cached blob table (streaming indexers
-        call this on superseded versions to bound executor storage)."""
+        """Release this version's storage (streaming indexers call this
+        on superseded versions to bound executor storage): the cached
+        blob/stats tables AND, for update()-produced versions, the
+        localCheckpoint RDD blocks (which DataFrame.unpersist alone
+        never touches)."""
         try:
             self.df.unpersist()
             if self._cell_stats is not None:
                 self._cell_stats.unpersist()
         except Exception:
             pass
+        ckpt = getattr(self, "_ckpt_rdd", None)
+        if ckpt is not None:
+            try:
+                ckpt.unpersist(False)
+            except Exception:
+                pass
+            self._ckpt_rdd = None
 
     # -------------------------------------------------------------- persist
     def save(self, path: str) -> str:

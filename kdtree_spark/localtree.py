@@ -59,6 +59,15 @@ INBALANCE_RATIO = 30  # percent, reference tree_node.hpp:127-131
 # regime worth keeping.
 
 
+def _alive_mask(tomb_sorted: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Boolean mask of ids NOT in the sorted tombstone array (the
+    pos==len clamp makes the subsequent compare safe for ids above the
+    largest tombstone)."""
+    pos = np.searchsorted(tomb_sorted, ids)
+    pos[pos == len(tomb_sorted)] = 0
+    return tomb_sorted[pos] != ids
+
+
 class LocalKDTree:
     """Array-backed kd-tree over int64 points with stable ids.
 
@@ -343,10 +352,7 @@ class LocalKDTree:
                 lo, hi = self.start[node], self.end[node]
                 bpts, bids = self.pts[lo:hi], self.ids[lo:hi]
                 if tomb is not None:
-                    pos = np.searchsorted(tomb, bids)
-                    pos[pos == len(tomb)] = 0
-                    alive = tomb[pos] != bids
-                    bpts = bpts[alive]
+                    bpts = bpts[_alive_mask(tomb, bids)]
                 if len(bpts) < k:
                     continue
                 diff = qf[qsub, None, :] - bpts[None, :, :].astype(np.float64)
@@ -405,9 +411,7 @@ class LocalKDTree:
                 stats["scanned"][qsub] += len(pidx_ids)
                 stats["leaves"][qsub] += 1
             if tomb is not None:
-                pos = np.searchsorted(tomb, pidx_ids)
-                pos[pos == len(tomb)] = 0
-                alive = tomb[pos] != pidx_ids
+                alive = _alive_mask(tomb, pidx_ids)
                 if not alive.all():
                     pidx_pts, pidx_ids = pidx_pts[alive], pidx_ids[alive]
                     if len(pidx_ids) == 0:

@@ -165,10 +165,10 @@ def main() -> None:
             if c not in results:
                 results[c] = res
             else:  # best-of-ROUNDS: keep per-op minimum time
-                for tm, tp, num in (
-                        ("build_sec", "build_rows_per_sec", res["rows"]),
-                        ("knn_sec", "knn_q_per_sec", res["n_queries"]),
-                        ("range_sec", "range_q_per_sec", N_BOXES)):
+                for tm, tp in (
+                        ("build_sec", "build_rows_per_sec"),
+                        ("knn_sec", "knn_q_per_sec"),
+                        ("range_sec", "range_q_per_sec")):
                     if res[tm] < results[c][tm]:
                         results[c][tm] = res[tm]
                         results[c][tp] = res[tp]
@@ -200,8 +200,11 @@ def main() -> None:
             ("kNN k=10", "knn_q_per_sec", "q/s"),
             ("range count", "range_q_per_sec", "q/s")):
         a, b = results[lo][m], results[hi][m]
+        # three decimals, no re-rounding: round(x,3) then :.2f inflates
+        # across .xx5 boundaries (0.3248 -> 0.33), which matters next to
+        # a hard >= 0.8 target
         md.append(f"| {label} ({unit}) | {a:,} | {b:,} | "
-                  f"{b / a:.2f}x | **{effs[m]:.2f}** |")
+                  f"{b / a:.2f}x | **{effs[m]:.3f}** |")
     md += [
         "",
         f"Raw: local[{lo}] = {json.dumps(results[lo])}",

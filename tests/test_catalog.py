@@ -71,3 +71,16 @@ def test_loaded_snapshot_answers_queries(store_env):
     res = knn_join(back, q, 3).toPandas()
     assert set(res["rank"]) == {1, 2, 3}
     assert len(res) == 30
+
+
+def test_reopened_store_adopts_recorded_bucket_count(store_env):
+    spark, sf_dir, idx, store = store_env
+    if store.current() is None:
+        store.commit(idx)
+    # reopening with a different nbuckets adopts the recorded one
+    reopened = SnapshotStore(store.path, nbuckets=999)
+    assert reopened.nb == store.nb
+    # a hand-built mismatch fails fast, before any files are written
+    reopened.nb = 999
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        reopened.commit(idx, parent=store.current(), touched_cells=[0])
