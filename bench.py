@@ -116,6 +116,14 @@ def main() -> None:
                         _F.avg("leaves").alias("l")).collect()[0])
             extras["knn_k10_d2_scanned_pts_per_query"] = round(row["s"], 1)
             extras["knn_k10_d2_leaves_per_query"] = round(row["l"], 2)
+            # skewed-density audit: varden clusters concentrate queries
+            # in few cells, the known phase-3 task-skew spot to watch
+            vkey = (id(spark), sf_dir, "varden")
+            if vkey in dq._INDEX_CACHE:
+                qv = points.load_query_points(spark, sf_dir, "varden")
+                extras["knn_k10_varden_cells_per_query"] = round(
+                    knn_candidates(dq._INDEX_CACHE[vkey], qv, 10).count()
+                    / nq, 2)
             for dname, getter in (("d3", dq.get_index_d3),
                                   ("d5", dq.get_index_d5)):
                 key = (id(spark), sf_dir, dname)
