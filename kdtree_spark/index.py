@@ -162,9 +162,13 @@ class SpatialIndex:
         `cell`, never a driver collect."""
         if self._cell_stats is None:
             d = len(self.coord_cols)
+            # maxsalt: highest salt among NONEMPTY blobs — query operators
+            # use it to split a hot (salted) cell's work across tasks; salts
+            # in between with empty blobs are enumerated but match nothing
             aggs = [F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
                     F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
-                    F.sum("cnt").alias("ccnt")]
+                    F.sum("cnt").alias("ccnt"),
+                    F.max("salt").alias("maxsalt")]
             # dims >= 2: elementwise bbox union from the array column,
             # giving kNN phase 2 the tight full-d bound
             for j in range(2, d):

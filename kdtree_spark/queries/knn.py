@@ -18,8 +18,12 @@ cluster that sibling-pruning becomes *cell* pruning:
            (p2b_min_distance analogue, nn_search.hpp:22-35) and drops
            empty cells. Queries with ub = inf (< k found at home) or a
            radius covering > ENUM_CAP cells fall back to a join against
-           the full stats table — rare by construction, and the only
-           path whose cost scales with cell count
+           the full stats table, where a prefix-sum window over cells
+           ordered by bbox min-dist² derives a VALID finite bound (the
+           max-dist² to the minimal prefix of cells holding >= k live
+           points) — so even those queries reach phase 3 with a tight
+           candidate set instead of scanning every blob; only this
+           metadata pass scales with cell count
   phase 3  candidates shuffle to their cells; per-blob batched tree
            search with ub as the prune bound -> local top-k per cell
   phase 4  global top-k: min-k over per-cell top-k's via a window on
@@ -73,8 +77,8 @@ ENUM_CAP = 4096  # max geometrically-enumerated cells per query; beyond
 
 
 def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
-                     coord_schema: str) -> DataFrame:
-    """Phase 2: (qid, coords, ub, cell) candidate pairs.
+                     coord_schema: str, k: int) -> DataFrame:
+    """Phase 2: (qid, coords, ub, cell, maxsalt) candidate pairs.
 
     Per query, enumerate grid cells in the square of half-width
     floor(sqrt(ub))+1 around the query point (regular grid => pure
@@ -83,7 +87,19 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
     whose data-bbox min-dist² <= ub — the same <= test the reference's
     p2b_min_distance makes, so equal-distance candidates survive for the
     (dist, id) tie-break. Queries whose square exceeds ENUM_CAP cells
-    emit a sentinel (cell = -1) and join against the full stats table.
+    (or whose home probe found < k points, ub = inf) emit a sentinel
+    (cell = -1) and join against the full stats table; a prefix-sum
+    window over that join (cells ordered by min-dist², cumulate live
+    counts until >= k, bound = max max-dist² over that prefix) replaces
+    inf with a VALID finite kth-distance bound, so no query ever
+    reaches phase 3 with an unbounded candidate set.
+
+    Exactness of the window bound: the minimal prefix of cells (by
+    min-dist²) whose live counts sum to >= k contains k live points,
+    each at distance² <= the prefix's max max-dist²; hence the true
+    kth distance² <= that bound. All distance arithmetic here is exact
+    (int64 diffs < 2^26, squares/sums < 2^53 in float64), matching the
+    phase-3 kernels bit-for-bit.
     """
     grid = index.grid
     g, cw = grid.g, grid.cw
@@ -144,20 +160,69 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
                               F.col(xcol) - F.col("xmax"), F.lit(0)), 2)
              + F.pow(F.greatest(F.col("ymin") - F.col(ycol),
                                 F.col(ycol) - F.col("ymax"), F.lit(0)), 2))
+    # farthest-corner distance² to the cell's data bbox (>= any point in
+    # the cell): per-dim max(q - lo, hi - q) is >= 0 whenever lo <= hi
+    maxd2 = (F.pow(F.greatest(F.col(xcol) - F.col("xmin"),
+                              F.col("xmax") - F.col(xcol)), 2)
+             + F.pow(F.greatest(F.col(ycol) - F.col("ymin"),
+                                F.col("ymax") - F.col(ycol)), 2))
     for j in range(2, len(cc)):
         mind2 = mind2 + F.pow(
             F.greatest(F.col(f"mn{j}") - F.col(cc[j]),
                        F.col(cc[j]) - F.col(f"mx{j}"), F.lit(0)), 2)
-    return (near.unionByName(far)
-            .filter(mind2 <= F.col("ub"))
-            .select("qid", *cc, "ub", "cell"))
+        maxd2 = maxd2 + F.pow(
+            F.greatest(F.col(cc[j]) - F.col(f"mn{j}"),
+                       F.col(f"mx{j}") - F.col(cc[j])), 2)
+
+    keep = ["qid", *cc, "ub", "cell", "maxsalt"]
+    near_out = near.filter(mind2 <= F.col("ub")).select(*keep)
+
+    # fallback path: derive the finite window bound, then prune with it.
+    # One qid-partitioned window (metadata-only rows), no blobs touched.
+    wq = Window.partitionBy("qid")
+    wcum = (wq.orderBy(F.col("mind2").asc(), F.col("cell").asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    far_out = (far.withColumn("mind2", mind2).withColumn("maxd2", maxd2)
+               .withColumn("cum", F.coalesce(F.sum("ccnt").over(wcum),
+                                             F.lit(0)))
+               .withColumn("ubw", F.max(F.when(F.col("cum") < k,
+                                               F.col("maxd2"))).over(wq))
+               .withColumn("ub", F.least("ub", F.coalesce("ubw", "ub")))
+               .filter(F.col("mind2") <= F.col("ub"))
+               .select(*keep))
+    return near_out.unionByName(far_out)
+
+
+def _hot_blobs(index: SpatialIndex) -> DataFrame:
+    """Blobs of salted ("hot") cells — the minority side that query
+    operators re-key by (cell, salt) so one hot cell's work spreads
+    across as many tasks as it has blobs. Hot-cell ids come from the
+    stats table and are broadcast (hot cells are rare by construction:
+    only cells past HOT_CELL_CAP rows are salted at build)."""
+    hot_cells = (index.cell_stats().filter(F.col("maxsalt") > 0)
+                 .select("cell"))
+    return index.df.join(F.broadcast(hot_cells), "cell", "semi")
+
+
+def _split_by_salt(cand: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(cold, hot): cold rows keep the single-blob cells (cogroup on
+    `cell` as usual); hot rows are replicated once per salt of their
+    salted cell (cogroup on (cell, salt) against _hot_blobs), so a hot
+    cell's scan fans out to one task per blob instead of one task total.
+    `cand` must carry a `maxsalt` column, which is consumed here."""
+    cold = cand.filter(F.col("maxsalt") == 0).drop("maxsalt")
+    hot = (cand.filter(F.col("maxsalt") > 0)
+           .withColumn("salt", F.explode(
+               F.sequence(F.lit(0), F.col("maxsalt"))))
+           .drop("maxsalt"))
+    return cold, hot
 
 
 def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
                    ) -> DataFrame:
-    """Phases 1+2: (qid, coords, ub, cell) candidate pairs. Exposed
-    separately so bench can audit pruning quality (candidate cells per
-    query — the reference's visited-node counters analogue,
+    """Phases 1+2: (qid, coords, ub, cell, maxsalt) candidate pairs.
+    Exposed separately so bench can audit pruning quality (candidate
+    cells per query — the reference's visited-node counters analogue,
     testFramework.h:505-517)."""
     grid = index.grid
     cc = list(index.coord_cols)
@@ -185,12 +250,30 @@ def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
         out["ub"] = ub
         return out
 
-    with_ub = (qcell.groupby("cell")
+    ub_schema = f"qid long, {coord_schema}, ub double"
+    # queries in salted home cells probe one blob per (cell, salt) task
+    # and take the min bound; the left join marks them (null => cold).
+    # The join keys on `cell`, the same partitioning the cogroup needs,
+    # so it folds into the shuffle phase 1 pays anyway.
+    qstat = qcell.join(index.cell_stats().select("cell", "maxsalt"),
+                       "cell", "left")
+    cold_q = (qstat.filter(F.coalesce(F.col("maxsalt"), F.lit(0)) == 0)
+              .drop("maxsalt"))
+    hot_q = (qstat.filter(F.col("maxsalt") > 0)
+             .withColumn("salt", F.explode(
+                 F.sequence(F.lit(0), F.col("maxsalt"))))
+             .drop("maxsalt"))
+    cold_ub = (cold_q.groupby("cell")
                .cogroup(index.df.groupby("cell"))
-               .applyInPandas(home_ub, f"qid long, {coord_schema}, ub double"))
+               .applyInPandas(home_ub, ub_schema))
+    hot_ub = (hot_q.groupby("cell", "salt")
+              .cogroup(_hot_blobs(index).groupby("cell", "salt"))
+              .applyInPandas(home_ub, ub_schema)
+              .groupBy("qid", *cc).agg(F.min("ub").alias("ub")))
+    with_ub = cold_ub.unionByName(hot_ub)
 
     # ---- phase 2: candidate (qid, cell) pairs, Spark-side
-    return _candidate_cells(index, with_ub, cc, coord_schema)
+    return _candidate_cells(index, with_ub, cc, coord_schema, k)
 
 
 def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
@@ -202,7 +285,11 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
     cc = list(index.coord_cols)
     cand = knn_candidates(index, queries, k)
 
-    # ---- phase 3: per-cell local top-k with ub pruning
+    # ---- phase 3: per-cell local top-k with ub pruning; hot (salted)
+    # cells fan out to one task per blob (cogroup on (cell, salt)) so
+    # varden-style clustering can't serialize a cell's queries on one
+    # task — the per-blob searches lose cross-blob bound tightening,
+    # which phase 4's exact merge absorbs
     def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["qid", "nid", "dist_sq"])
@@ -216,9 +303,15 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
         return pd.DataFrame({"qid": qid[ok], "nid": ii[ok],
                              "dist_sq": dd[ok]})
 
-    local = (cand.groupby("cell")
+    out_schema = "qid long, nid long, dist_sq double"
+    cold, hot = _split_by_salt(cand)
+    local = (cold.groupby("cell")
              .cogroup(index.df.groupby("cell"))
-             .applyInPandas(cell_knn, "qid long, nid long, dist_sq double"))
+             .applyInPandas(cell_knn, out_schema)
+             .unionByName(
+                 hot.groupby("cell", "salt")
+                 .cogroup(_hot_blobs(index).groupby("cell", "salt"))
+                 .applyInPandas(cell_knn, out_schema)))
 
     # ---- phase 4: global exact top-k
     w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(),
@@ -253,9 +346,15 @@ def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
                              "scanned": st["scanned"],
                              "leaves": st["leaves"]})
 
-    per_cell = (cand.groupby("cell")
+    cnt_schema = "qid long, scanned long, leaves long"
+    cold, hot = _split_by_salt(cand)
+    per_cell = (cold.groupby("cell")
                 .cogroup(index.df.groupby("cell"))
-                .applyInPandas(cell_count, "qid long, scanned long, leaves long"))
+                .applyInPandas(cell_count, cnt_schema)
+                .unionByName(
+                    hot.groupby("cell", "salt")
+                    .cogroup(_hot_blobs(index).groupby("cell", "salt"))
+                    .applyInPandas(cell_count, cnt_schema)))
     return (per_cell.groupBy("qid")
             .agg(F.sum("scanned").alias("scanned"),
                  F.sum("leaves").alias("leaves")))

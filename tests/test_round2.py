@@ -160,3 +160,67 @@ def test_point_insert_delete_batch_of_one(spark, sf_dir):
     assert got[0]["nid"] == 999_000_000_001 and got[0]["dist_sq"] == 0
     idx3 = idx2.update(deletes=one_new)
     assert idx3.validate()["total"] == n
+
+
+def test_knn_hot_cell_salted_exact(spark):
+    """A salted (hot) cell's kNN fans out per blob (cogroup on
+    (cell, salt)) — results must equal brute force, including queries
+    inside the cluster, in the sparse background, and in empty corners
+    that force the phase-2 fallback."""
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    n = 8000
+    pts = np.concatenate([
+        rng.integers(0, 1000, size=(n - 1000, 2)),    # one-cell cluster
+        rng.integers(0, 1_000_000, size=(1000, 2)),   # sparse background
+    ]).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": ids, "x": pts[:, 0], "y": pts[:, 1]}))
+    idx = SpatialIndex.build(spark, df, grid=Grid(16), n_hint=n,
+                             hot_cell_cap=1024)
+    # the cluster cell must actually be salted for this test to bite
+    assert idx.df.groupBy("cell").count().filter("count > 1").count() >= 1
+    q = np.concatenate([
+        rng.integers(0, 1000, size=(20, 2)),
+        rng.integers(0, 1_000_000, size=(20, 2)),
+        np.array([[999_999, 999_999], [500_000, 1]], dtype=np.int64),
+    ]).astype(np.int64)
+    qdf = spark.createDataFrame(pd.DataFrame(
+        {"qid": np.arange(len(q)), "x": q[:, 0], "y": q[:, 1]}))
+    for k in (1, 10):
+        got = (knn_join(idx, qdf, k).toPandas()
+               .sort_values(["qid", "rank"]))
+        exp_d, exp_i = bf.knn(pts, ids, q, k)
+        assert np.array_equal(
+            got["nid"].to_numpy(np.int64).reshape(len(q), k), exp_i)
+        assert np.array_equal(
+            got["dist_sq"].to_numpy(np.int64).reshape(len(q), k),
+            exp_d.astype(np.int64))
+
+
+def test_knn_fallback_window_bound(spark):
+    """Queries whose home probe finds < k points get a FINITE bound from
+    the stats prefix-sum window: exact results, and the candidate set
+    stays far below the nonempty-cell count (no full-index scan)."""
+    import pandas as pd
+    rng = np.random.default_rng(13)
+    n = 4000
+    pts = rng.integers(0, 1_000_000, size=(n, 2)).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": ids, "x": pts[:, 0], "y": pts[:, 1]}))
+    idx = SpatialIndex.build(spark, df, grid=Grid(32), n_hint=n)
+    nonempty = idx.cell_stats().count()
+    # k far above any single cell's count (4000 pts / 1024 cells)
+    k = 64
+    q = rng.integers(0, 1_000_000, size=(25, 2)).astype(np.int64)
+    qdf = spark.createDataFrame(pd.DataFrame(
+        {"qid": np.arange(len(q)), "x": q[:, 0], "y": q[:, 1]}))
+    got = knn_join(idx, qdf, k).toPandas().sort_values(["qid", "rank"])
+    exp_d, exp_i = bf.knn(pts, ids, q, k)
+    assert np.array_equal(
+        got["nid"].to_numpy(np.int64).reshape(len(q), k), exp_i)
+    cand = knn_candidates(idx, qdf, k)
+    per_q = cand.groupBy("qid").count().agg(F.max("count")).collect()[0][0]
+    assert per_q < nonempty / 2, (per_q, nonempty)
