@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 
 from ..index import SpatialIndex
 from ..localtree import LocalKDTree
+from .skew import hot_blobs as _hot_blobs
+from .skew import split_by_salt as _split_by_salt
 
 
 def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None,
@@ -191,31 +193,6 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
                .filter(F.col("mind2") <= F.col("ub"))
                .select(*keep))
     return near_out.unionByName(far_out)
-
-
-def _hot_blobs(index: SpatialIndex) -> DataFrame:
-    """Blobs of salted ("hot") cells — the minority side that query
-    operators re-key by (cell, salt) so one hot cell's work spreads
-    across as many tasks as it has blobs. Hot-cell ids come from the
-    stats table and are broadcast (hot cells are rare by construction:
-    only cells past HOT_CELL_CAP rows are salted at build)."""
-    hot_cells = (index.cell_stats().filter(F.col("maxsalt") > 0)
-                 .select("cell"))
-    return index.df.join(F.broadcast(hot_cells), "cell", "semi")
-
-
-def _split_by_salt(cand: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(cold, hot): cold rows keep the single-blob cells (cogroup on
-    `cell` as usual); hot rows are replicated once per salt of their
-    salted cell (cogroup on (cell, salt) against _hot_blobs), so a hot
-    cell's scan fans out to one task per blob instead of one task total.
-    `cand` must carry a `maxsalt` column, which is consumed here."""
-    cold = cand.filter(F.col("maxsalt") == 0).drop("maxsalt")
-    hot = (cand.filter(F.col("maxsalt") > 0)
-           .withColumn("salt", F.explode(
-               F.sequence(F.lit(0), F.col("maxsalt"))))
-           .drop("maxsalt"))
-    return cold, hot
 
 
 def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int

@@ -3,10 +3,13 @@
 Two-level plan mirroring the reference's 3-way recursion
 (`query_op/range_count.hpp:9-96`): cells disjoint from a box are never
 touched (bbox-stats filter — the partition-pruning analogue); cells whose
-data-bbox is *contained* contribute their stored count without reading a
-blob (the "contained -> node.size" shortcut, range_count.hpp:78-80);
-boundary cells go to a cogrouped pandas UDF that runs the per-cell tree's
-vectorized count/report.
+data-bbox is *contained* contribute their stored count straight from the
+stats table, aggregated metadata-only without ever reaching a blob (the
+"contained -> node.size" shortcut, range_count.hpp:78-80); boundary
+cells go to a cogrouped pandas UDF that runs the per-cell tree's
+vectorized count/report — with hot (salted) cells re-keyed per
+(cell, salt) so one popular cell's boundary scans fan out across tasks
+(queries/skew.py).
 
 The stats side is a plain DataFrame agg + broadcast join — Catalyst
 keeps it whole-stage-codegen'd; only boundary cells pay the Arrow hop.
@@ -24,6 +27,25 @@ from pyspark.sql import functions as F
 
 from ..index import SpatialIndex
 from ..localtree import LocalKDTree
+from .skew import hot_blobs, split_by_salt
+
+
+def _scan_counts(index: SpatialIndex, bnd: DataFrame, scan, schema: str
+                 ) -> DataFrame:
+    """Run the boundary-cell scan cogroup with the cold/hot split: cold
+    cells cogroup on `cell` against the whole index (exchange-reusing
+    the cached clustering); hot cells fan out per (cell, salt) blob.
+    `bnd` must carry `maxsalt`; `scan` is additive across a cell's
+    blobs (counts sum / reported rows union), so per-salt partial
+    results compose in the caller's final aggregation."""
+    cold, hot = split_by_salt(bnd)
+    return (cold.groupby("cell")
+            .cogroup(index.df.groupby("cell"))
+            .applyInPandas(scan, schema)
+            .unionByName(
+                hot.groupby("cell", "salt")
+                .cogroup(hot_blobs(index).groupby("cell", "salt"))
+                .applyInPandas(scan, schema)))
 
 
 def _boxes_df(index: SpatialIndex, boxes) -> DataFrame:
@@ -87,39 +109,40 @@ def range_count(index: SpatialIndex, boxes) -> DataFrame:
         index, bdf, len(boxes),
         (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
         & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo")))
-    # one cogroup pass handles BOTH cases, so the (box, cell) pair join
-    # is computed once: fully-contained pairs take the cell's stored
-    # count from the stats row (the "contained -> node.size" shortcut,
-    # range_count.hpp:78-80 — no blob is scanned for them); boundary
-    # pairs run the per-cell tree's vectorized count
+    # the (box, cell) pair join is computed once and split: fully-
+    # contained pairs take the cell's stored count from the stats row
+    # (the "contained -> node.size" shortcut, range_count.hpp:78-80)
+    # and aggregate METADATA-ONLY — they never shuffle into the blob
+    # cogroup; only boundary pairs pay the Arrow hop + tree scan
     contained = ((F.col("xmin") >= F.col("bxlo")) & (F.col("xmax") <= F.col("bxhi"))
                  & (F.col("ymin") >= F.col("bylo")) & (F.col("ymax") <= F.col("byhi")))
     pairs = joined.withColumn("full", contained).select(
-        "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "ccnt", "full")
+        "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "ccnt", "full",
+        "maxsalt")
+    full_counts = (pairs.filter(F.col("full"))
+                   .groupBy("box_id").agg(F.sum("ccnt").alias("cnt")))
+    bnd = pairs.filter(~F.col("full")).select(
+        "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "maxsalt")
 
     def scan(key, bpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(bpdf) == 0:
+        if len(bpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["box_id", "cnt"])
-        total = np.where(bpdf["full"].to_numpy(),
-                         bpdf["ccnt"].to_numpy(np.int64), 0)
-        sub = ~bpdf["full"].to_numpy()
-        if sub.any() and len(ipdf):
-            qboxes = bpdf.loc[sub, ["bxlo", "bylo", "bxhi", "byhi"]] \
-                .to_numpy(np.int64)
-            part = np.zeros(int(sub.sum()), np.int64)
-            for blob in ipdf["blob"]:
-                part += LocalKDTree.from_bytes(blob).range_count(qboxes)
-            total[sub] = part
+        qboxes = bpdf[["bxlo", "bylo", "bxhi", "byhi"]].to_numpy(np.int64)
+        part = np.zeros(len(bpdf), np.int64)
+        for blob in ipdf["blob"]:
+            part += LocalKDTree.from_bytes(blob).range_count(qboxes)
         return pd.DataFrame({"box_id": bpdf["box_id"].to_numpy(np.int64),
-                             "cnt": total})
+                             "cnt": part})
 
-    all_counts = (pairs.groupby("cell")
-                  .cogroup(index.df.groupby("cell"))
-                  .applyInPandas(scan, "box_id long, cnt long"))
+    all_counts = _scan_counts(index, bnd, scan, "box_id long, cnt long") \
+        .unionByName(full_counts)
 
-    # boxes with zero matches must still appear with cnt=0
-    return (F.broadcast(bdf.select("box_id"))
-            .join(all_counts.groupBy("box_id").agg(F.sum("cnt").alias("c")),
+    # boxes with zero matches must still appear with cnt=0; broadcast
+    # the aggregated side (<= one row per box) — build-left on a left
+    # outer join is unsupported, so hinting bdf would be a no-op
+    return (bdf.select("box_id")
+            .join(F.broadcast(
+                all_counts.groupBy("box_id").agg(F.sum("cnt").alias("c"))),
                   "box_id", "left")
             .select("box_id", F.coalesce("c", F.lit(0)).alias("cnt")))
 
@@ -131,7 +154,7 @@ def range_report(index: SpatialIndex, boxes) -> DataFrame:
         index, bdf, len(boxes),
         (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
         & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo"))
-    ).select("box_id", "bxlo", "bylo", "bxhi", "byhi", "cell")
+    ).select("box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "maxsalt")
 
     def scan(key, bpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(bpdf) == 0 or len(ipdf) == 0:
@@ -149,9 +172,8 @@ def range_report(index: SpatialIndex, boxes) -> DataFrame:
             return pd.DataFrame(columns=["box_id", "pid", "x", "y"])
         return pd.concat(outs, ignore_index=True)
 
-    return (pairs.groupby("cell")
-            .cogroup(index.df.groupby("cell"))
-            .applyInPandas(scan, "box_id long, pid long, x long, y long"))
+    return _scan_counts(index, pairs, scan,
+                        "box_id long, pid long, x long, y long")
 
 
 def circle_count(index: SpatialIndex, circles) -> DataFrame:
@@ -181,29 +203,28 @@ def circle_count(index: SpatialIndex, circles) -> DataFrame:
     r2 = F.col("r") * F.col("r")
     joined = _prune_join(index, cdf, len(circles), mind2 <= r2)
     pairs = joined.withColumn("full", maxd2 <= r2).select(
-        "circle_id", "cx", "cy", "r", "cell", "ccnt", "full")
+        "circle_id", "cx", "cy", "r", "cell", "ccnt", "full", "maxsalt")
+    full_counts = (pairs.filter(F.col("full"))
+                   .groupBy("circle_id").agg(F.sum("ccnt").alias("cnt")))
+    bnd = pairs.filter(~F.col("full")).select(
+        "circle_id", "cx", "cy", "r", "cell", "maxsalt")
 
     def scan(key, cpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(cpdf) == 0:
+        if len(cpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["circle_id", "cnt"])
-        total = np.where(cpdf["full"].to_numpy(),
-                         cpdf["ccnt"].to_numpy(np.int64), 0)
-        sub = ~cpdf["full"].to_numpy()
-        if sub.any() and len(ipdf):
-            centers = cpdf.loc[sub, ["cx", "cy"]].to_numpy(np.int64)
-            radii = cpdf.loc[sub, "r"].to_numpy(np.float64)
-            part = np.zeros(int(sub.sum()), np.int64)
-            for blob in ipdf["blob"]:
-                part += LocalKDTree.from_bytes(blob).circle_count(
-                    centers, radii)
-            total[sub] = part
+        centers = cpdf[["cx", "cy"]].to_numpy(np.int64)
+        radii = cpdf["r"].to_numpy(np.float64)
+        part = np.zeros(len(cpdf), np.int64)
+        for blob in ipdf["blob"]:
+            part += LocalKDTree.from_bytes(blob).circle_count(
+                centers, radii)
         return pd.DataFrame({"circle_id": cpdf["circle_id"].to_numpy(np.int64),
-                             "cnt": total})
+                             "cnt": part})
 
-    all_counts = (pairs.groupby("cell")
-                  .cogroup(index.df.groupby("cell"))
-                  .applyInPandas(scan, "circle_id long, cnt long"))
-    return (F.broadcast(cdf.select("circle_id"))
-            .join(all_counts.groupBy("circle_id").agg(F.sum("cnt").alias("c")),
+    all_counts = _scan_counts(index, bnd, scan, "circle_id long, cnt long") \
+        .unionByName(full_counts)
+    return (cdf.select("circle_id")
+            .join(F.broadcast(
+                all_counts.groupBy("circle_id").agg(F.sum("cnt").alias("c"))),
                   "circle_id", "left")
             .select("circle_id", F.coalesce("c", F.lit(0)).alias("cnt")))

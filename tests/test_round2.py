@@ -224,3 +224,46 @@ def test_knn_fallback_window_bound(spark):
     cand = knn_candidates(idx, qdf, k)
     per_q = cand.groupBy("qid").count().agg(F.max("count")).collect()[0][0]
     assert per_q < nonempty / 2, (per_q, nonempty)
+
+
+def test_range_hot_cell_salted_exact(spark):
+    """Range count/report/circle over an index with a salted hot cell:
+    boundary scans fan out per (cell, salt); results equal brute force,
+    and contained cells aggregate metadata-only."""
+    import pandas as pd
+    from kdtree_spark.queries.ranges import (range_count, range_report,
+                                             circle_count)
+    rng = np.random.default_rng(23)
+    n = 8000
+    pts = np.concatenate([
+        rng.integers(0, 1000, size=(n - 1000, 2)),
+        rng.integers(0, 1_000_000, size=(1000, 2)),
+    ]).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pid": ids, "x": pts[:, 0], "y": pts[:, 1]}))
+    idx = SpatialIndex.build(spark, df, grid=Grid(16), n_hint=n,
+                             hot_cell_cap=1024)
+    assert idx.df.groupBy("cell").count().filter("count > 1").count() >= 1
+    boxes = [
+        (0, 0, 0, 500, 500),                # cuts through the hot cell
+        (1, 0, 0, 2000, 2000),              # contains the hot cell's bbox
+        (2, 100_000, 100_000, 900_000, 900_000),  # background, many cells
+        (3, 999_000, 999_000, 999_999, 999_999),  # likely empty
+    ]
+    got = (range_count(idx, boxes).toPandas()
+           .sort_values("box_id")["cnt"].to_numpy())
+    exp = bf.range_count(pts, np.asarray(
+        [(b[1], b[2], b[3], b[4]) for b in boxes], dtype=np.int64))
+    assert np.array_equal(got, exp), (got, exp)
+
+    rep = range_report(idx, boxes[:1]).toPandas()
+    in0 = ((pts[:, 0] <= 500) & (pts[:, 1] <= 500))
+    assert sorted(rep["pid"]) == sorted(ids[in0])
+
+    circles = [(0, 500, 500, 600), (1, 500_000, 500_000, 200_000)]
+    gotc = (circle_count(idx, circles).toPandas()
+            .sort_values("circle_id")["cnt"].to_numpy())
+    for cid, cx, cy, r in circles:
+        d2 = ((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2)
+        assert gotc[cid] == int((d2 <= r * r).sum())
