@@ -370,8 +370,14 @@ class LocalKDTree:
             stats: dict | None = None):
         """Exact k nearest neighbours for a batch of queries.
 
-        q: (m, d) int64. ub: optional (m,) float64 upper bound on the kth
-        distance² (from a prior round) — used only for pruning.
+        q: (m, d) int64. ub: optional (m,) float64 VALID upper bound on
+        the kth distance² (never below the true kth the caller cares
+        about) — used for pruning, and candidates beyond it are dropped:
+        with ub given, the result is the top-k *within the bound*
+        (slots whose distance would exceed ub come back (inf, -1)); a
+        distributed caller merging per-cell results loses nothing,
+        because every global top-k member lies within any valid bound.
+        Without ub the blob-local top-k is complete.
         Returns (dist2 (m,k) float64 sorted, ids (m,k) int64); missing
         slots are (inf, -1). Tie-break: (dist², id) ascending.
 
@@ -386,14 +392,15 @@ class LocalKDTree:
         if stats is not None:
             stats.setdefault("scanned", np.zeros(m, np.int64))
             stats.setdefault("leaves", np.zeros(m, np.int64))
-        kk = k
-        INF = np.inf
-        best_d = np.full((m, kk), INF, dtype=np.float64)
-        best_i = np.full((m, kk), -1, dtype=np.int64)
+        best_d = np.full((m, k), np.inf, dtype=np.float64)
+        best_i = np.full((m, k), -1, dtype=np.int64)
+        if m == 0:
+            return best_d, best_i
         # cold searches seed the prune bound with the block-scan kth
-        # upper bound (exact-safe: pruning only drops strictly-greater
-        # subtrees, so distance-ties at the bound still reach the
-        # (dist², id) tie-break); bounded searches keep the caller's ub
+        # upper bound (exact-safe: pruning drops only subtrees/points
+        # strictly beyond a valid kth upper bound, so distance-ties at
+        # the bound still reach the (dist², id) tie-break); bounded
+        # searches keep the caller's ub
         bound = (self.knn_bound(q, k) if ub is None
                  else np.asarray(ub, np.float64).copy())
 
@@ -403,70 +410,131 @@ class LocalKDTree:
         # post-delete query cost stays O(k), not O(k + batch size)
         tomb = np.sort(self.tomb_ids) if len(self.tomb_ids) else None
 
-        def scan(pidx_pts, pidx_ids, qsub):
-            # brute merge of a candidate block into best_d/best_i[qsub]
-            if len(pidx_ids) == 0 or len(qsub) == 0:
+        # The whole search is three flat vectorized passes — no per-node
+        # Python (a stack-of-query-subsets traversal fragments to ~1-2
+        # queries per leaf merge and its call overhead dominates):
+        #   A  frontier descent: (query, node) pairs advance one level
+        #      per iteration; the near child is always taken, the far
+        #      child only when the split-plane distance² is within the
+        #      query's seed bound (the reference's sibling test,
+        #      nn_search.hpp:83-126, against the phase-1 bound)
+        #   B  one flat gather of all surviving (query, leaf) blocks ->
+        #      distance² in one einsum, filtered to d² <= bound (valid:
+        #      bound never goes below the true kth distance)
+        #   C  one global lexsort on (id, d², query) + rank-in-group
+        #      -> top-k per query, identical (dist², id) tie-break
+        rows_q: list = []
+        rows_d: list = []
+        rows_i: list = []
+
+        def gather(lq: np.ndarray, ln: np.ndarray) -> None:
+            # flatten the leaf blocks of (query, leaf) pairs and keep
+            # candidates within each query's bound
+            starts = self.start[ln]
+            sizes = (self.end[ln] - starts).astype(np.int64)
+            nz = sizes > 0
+            lq, starts, sizes = lq[nz], starts[nz], sizes[nz]
+            if not len(lq):
                 return
             if stats is not None:
-                stats["scanned"][qsub] += len(pidx_ids)
-                stats["leaves"][qsub] += 1
+                np.add.at(stats["scanned"], lq, sizes)
+                np.add.at(stats["leaves"], lq, 1)
+            total = int(sizes.sum())
+            off = np.zeros(len(sizes), np.int64)
+            np.cumsum(sizes[:-1], out=off[1:])
+            ptidx = np.repeat(starts - off, sizes) \
+                + np.arange(total, dtype=np.int64)
+            rowq = np.repeat(lq, sizes)
+            pid = self.ids[ptidx]
+            ppts = self.pts[ptidx]
             if tomb is not None:
-                alive = _alive_mask(tomb, pidx_ids)
-                if not alive.all():
-                    pidx_pts, pidx_ids = pidx_pts[alive], pidx_ids[alive]
-                    if len(pidx_ids) == 0:
-                        return
-            diff = qf[qsub, None, :] - pidx_pts[None, :, :].astype(np.float64)
-            d2 = np.einsum("ijk,ijk->ij", diff, diff)
-            cat_d = np.concatenate([best_d[qsub], d2], axis=1)
-            cat_i = np.concatenate(
-                [best_i[qsub], np.broadcast_to(pidx_ids, d2.shape)], axis=1)
-            # keep kk smallest by (dist, id)
-            ordr = np.lexsort((cat_i, cat_d), axis=1)[:, :kk]
-            rows = np.arange(len(qsub))[:, None]
-            best_d[qsub] = cat_d[rows, ordr]
-            best_i[qsub] = cat_i[rows, ordr]
-            kth = best_d[qsub, kk - 1]
-            bound[qsub] = np.minimum(bound[qsub], kth)
+                alive = _alive_mask(tomb, pid)
+                rowq, pid, ppts = rowq[alive], pid[alive], ppts[alive]
+            diff = qf[rowq] - ppts.astype(np.float64)
+            d2 = np.einsum("ij,ij->i", diff, diff)
+            keep = d2 <= bound[rowq]
+            rows_q.append(rowq[keep])
+            rows_d.append(d2[keep])
+            rows_i.append(pid[keep])
+
+        # cap the flat gather's peak memory: past GATHER_CAP rows the
+        # pair list is split (pairs are independent — the final global
+        # reduce sees every chunk's survivors)
+        GATHER_CAP = 4 << 20
 
         if self.n_base:
-            stack = [(0, np.arange(m, dtype=np.int64))]
-            while stack:
-                node, act = stack.pop()
-                if len(act) == 0:
-                    continue
-                if self.split_dim[node] < 0:  # leaf
-                    lo, hi = self.start[node], self.end[node]
-                    scan(self.pts[lo:hi], self.ids[lo:hi], act)
-                    continue
-                dim = self.split_dim[node]
-                sv = float(self.split_val[node])
-                qd = qf[act, dim]
-                go_left = qd < sv
-                plane = (qd - sv) ** 2
-                # visit near side first, then far side if not pruned.
-                # LIFO stack: push far first so near pops first.
-                near_l = act[go_left]
-                near_r = act[~go_left]
-                # far sets (pruned by plane distance vs running bound)
-                far_r = near_l[plane[go_left] <= bound[near_l]]
-                far_l = near_r[plane[~go_left] <= bound[near_r]]
-                if len(far_l):
-                    stack.append((self.left[node], far_l))
-                if len(far_r):
-                    stack.append((self.right[node], far_r))
-                if len(near_r):
-                    stack.append((self.right[node], near_r))
-                if len(near_l):
-                    stack.append((self.left[node], near_l))
+            pair_q = np.arange(m, dtype=np.int64)
+            pair_n = np.zeros(m, np.int64)
+            leaf_q: list = []
+            leaf_n: list = []
+            while len(pair_q):
+                sd = self.split_dim[pair_n]
+                isleaf = sd < 0
+                if isleaf.any():
+                    leaf_q.append(pair_q[isleaf])
+                    leaf_n.append(pair_n[isleaf])
+                    internal = ~isleaf
+                    pair_q, pair_n = pair_q[internal], pair_n[internal]
+                    sd = sd[internal]
+                    if not len(pair_q):
+                        break
+                qd = qf[pair_q, sd]
+                sv = self.split_val[pair_n]
+                goleft = qd < sv
+                near = np.where(goleft, self.left[pair_n],
+                                self.right[pair_n])
+                far = np.where(goleft, self.right[pair_n],
+                               self.left[pair_n])
+                keep_far = (qd - sv) ** 2 <= bound[pair_q]
+                pair_n = np.concatenate([near, far[keep_far]])
+                pair_q = np.concatenate([pair_q, pair_q[keep_far]])
+            if leaf_q:
+                lq = np.concatenate(leaf_q)
+                ln = np.concatenate(leaf_n)
+                sizes = (self.end[ln] - self.start[ln]).astype(np.int64)
+                csum = np.cumsum(sizes)
+                if csum[-1] <= GATHER_CAP:
+                    gather(lq, ln)
+                else:
+                    cuts = np.searchsorted(
+                        csum, np.arange(GATHER_CAP, csum[-1], GATHER_CAP))
+                    for chunk_q, chunk_n in zip(np.array_split(lq, cuts),
+                                                np.array_split(ln, cuts)):
+                        gather(chunk_q, chunk_n)
 
-        # extras: brute scan (extras are never tombstoned — deletes net
-        # them out of the log at update time)
-        scan(self.extra_pts, self.extra_ids, np.arange(m, dtype=np.int64))
+        # extras: brute scan for every query (extras are never
+        # tombstoned — deletes net them out of the log at update time)
+        ne = len(self.extra_ids)
+        if ne:
+            if stats is not None:
+                stats["scanned"] += ne
+                stats["leaves"] += 1
+            epts = self.extra_pts.astype(np.float64)
+            for lo in range(0, m, max(1, GATHER_CAP // ne)):
+                hi = min(m, lo + max(1, GATHER_CAP // ne))
+                rowq = np.repeat(np.arange(lo, hi, dtype=np.int64), ne)
+                diff = qf[rowq] - np.tile(epts, (hi - lo, 1))
+                d2 = np.einsum("ij,ij->i", diff, diff)
+                keep = d2 <= bound[rowq]
+                rows_q.append(rowq[keep])
+                rows_d.append(d2[keep])
+                rows_i.append(np.tile(self.extra_ids, hi - lo)[keep])
 
-        out_i = best_i.copy()
-        out_i[~np.isfinite(best_d)] = -1
-        return best_d, out_i
+        if rows_q:
+            rq = np.concatenate(rows_q)
+            rd = np.concatenate(rows_d)
+            ri = np.concatenate(rows_i)
+            srt = np.lexsort((ri, rd, rq))
+            rq, rd, ri = rq[srt], rd[srt], ri[srt]
+            gstart = np.flatnonzero(np.r_[True, rq[1:] != rq[:-1]])
+            counts = np.diff(np.r_[gstart, len(rq)])
+            rank = np.arange(len(rq), dtype=np.int64) \
+                - np.repeat(gstart, counts)
+            sel = rank < k
+            flat = rq[sel] * k + rank[sel]
+            best_d.ravel()[flat] = rd[sel]
+            best_i.ravel()[flat] = ri[sel]
+        return best_d, best_i
 
     # ------------------------------------------------------------------ range
 
