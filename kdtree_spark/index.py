@@ -11,12 +11,15 @@ level, plus what BASELINE.json calls out): cells whose row count exceeds
 cogroups on `cell` and scans all of a cell's blobs vectorized, so salting
 is invisible to query semantics. AQE skew-join handles residual imbalance.
 
-Updates are log-structured (I1/D1/D2 of SURVEY §2): new rows are
-cell-encoded and cogrouped against the index; untouched cells pass
-through without deserialization; touched cells append to the extra log /
-tombstone set and rebuild only past the INBALANCE_RATIO=30 threshold
-(`tree_node.hpp:127-131` analogue). Deletes are partial-cover tolerant
-(`batch_delete.hpp:95-107`).
+Updates are log-structured at BOTH levels (I1/D1/D2 of SURVEY §2):
+inside a cell, new rows append to the extra log / tombstone set and
+rebuild only past the INBALANCE_RATIO=30 threshold (`tree_node.hpp:
+127-131` analogue); across the index, each batch produces a
+checkpointed touched-cell DELTA fragment layered over the inherited
+fragments with broadcast anti-joins, compacted every COMPACT_EVERY
+generations — untouched cells are never shuffled, deserialized, or
+rewritten. Deletes are partial-cover tolerant (`batch_delete.hpp:
+95-107`).
 
 Persistence is write-audit-publish: parquet + JSON manifest written to a
 temp dir, audited (row counts), then atomically renamed — the checkpoint
@@ -47,6 +50,9 @@ STATS_COLS = ["cell", "salt", "cnt", "nextra", "ntomb", "depth",
               "xmin", "ymin", "xmax", "ymax"]
 
 HOT_CELL_CAP = 131_072  # rows per index blob before salting splits it
+
+COMPACT_EVERY = int(os.environ.get("KDS_COMPACT_EVERY", "8"))
+# delta-update generations before a full compaction checkpoint
 
 
 def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
@@ -95,6 +101,15 @@ class SpatialIndex:
         self.coord_cols = tuple(coord_cols)
         self._stats_pd: pd.DataFrame | None = None
         self._cell_stats: DataFrame | None = None
+        # delta versioning (update()): df == union of fragments; each
+        # update checkpoints ONLY its touched-cell delta and layers a
+        # broadcast anti-join over inherited fragments. _ckpt_handles
+        # maps fragment key -> materialized-RDD handle (for freeing
+        # checkpoint blocks); _cached_frames lists cache()d frames this
+        # version's plan still references (for successor-aware release).
+        self._frags: list[DataFrame] = [df]
+        self._ckpt_handles: dict[str, object] = {}
+        self._cached_frames: list[DataFrame] = []
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -143,7 +158,9 @@ class SpatialIndex:
                         wall_sec=time.time() - t0,
                         coord_cols=list(coord_cols),
                         version=str(uuid.uuid4())[:8])
-        return cls(spark, grid, df, manifest, coord_cols=coord_cols)
+        idx = cls(spark, grid, df, manifest, coord_cols=coord_cols)
+        idx._cached_frames = [df]
+        return idx
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> pd.DataFrame:
@@ -190,11 +207,15 @@ class SpatialIndex:
 
         Physical plan (the reference rebuilds only tagged subtrees,
         `inner_tree.hpp:78-95`; the distributed analogue is touching only
-        updated cells): the distinct touched cells are broadcast; the
-        index side is split with a broadcast semi/anti join so ONLY
-        touched blobs enter the Python cogroup — untouched blobs are
-        neither shuffled nor deserialized, and a 0.01% batch pays
-        O(batch), not O(index). Touched cells go log-structured with
+        updated cells): the distinct touched cells are broadcast; a
+        broadcast semi-join feeds ONLY touched blobs into the Python
+        cogroup, and the new version is the checkpointed touched-cell
+        DELTA unioned with the inherited fragments behind broadcast
+        anti-joins — untouched blobs are neither shuffled, deserialized,
+        nor rewritten to storage, so a 0.01% batch pays O(batch), not
+        O(index), in both compute AND materialized bytes. Every
+        COMPACT_EVERY generations a full compaction checkpoint bounds
+        the fragment count. Touched cells go log-structured with
         threshold rebuild. (For batches touching a large fraction of a
         huge grid, the broadcast of touched-cell ids grows with the
         batch, never with the index — at that ratio a rebuild is the
@@ -256,62 +277,123 @@ class SpatialIndex:
                 out.append(_tree_row(cell, int(row["salt"]), t2))
             return pd.DataFrame(out)
 
-        touched = ups.select("cell").distinct()
+        # the touched-cell set outlives this call: the anti-join layer
+        # keeps it in every descendant version's plan until compaction,
+        # so its lineage must not reference the caller's input frames
+        # (a streaming caller deletes evicted slice files) — checkpoint
+        # truncates it to an O(batch) materialized list of cell ids
+        touched = (ups.select("cell").distinct()
+                   .localCheckpoint(eager=True))
+        try:
+            touched_rdd = touched._jdf.queryExecution().logical().rdd()
+        except Exception:
+            touched_rdd = None
         touched_blobs = self.df.join(F.broadcast(touched), "cell", "semi")
-        untouched = self.df.join(F.broadcast(touched), "cell", "left_anti")
         new_blobs = (ups.groupby("cell")
                      .cogroup(touched_blobs.groupby("cell"))
                      .applyInPandas(apply_updates, INDEX_SCHEMA))
-        # union, NOT repartition: the untouched blobs stay where the cached
-        # parent put them; each downstream query pays one blob-side shuffle,
-        # which is what the old always-repartition plan cost anyway.
-        # localCheckpoint truncates the logical plan: the parent appears
-        # TWICE in this lineage (semi + anti), so without truncation each
-        # chained update doubles the plan -> exponential analyzer cost.
-        # Eager materialization doubles as the version's durability point
-        # (the manifest records the lineage for the checkpoint story).
-        new_df = new_blobs.unionByName(untouched).localCheckpoint(eager=True)
-        ncells = new_df.count()
-        # handle to the checkpoint's materialized RDD (the LogicalRDD the
-        # checkpointed frame wraps — queryExecution().toRdd() is only a
-        # wrapper over it): DataFrame.unpersist is a cache-manager call
-        # and does NOT free localCheckpoint blocks, so unpersist() below
-        # releases them through this instead of waiting for
-        # nondeterministic GC + ContextCleaner
+        # DELTA versioning: checkpoint ONLY the rebuilt touched-cell
+        # blobs — O(batch) materialization, never O(index). The new
+        # version's df is the inherited fragments each filtered by a
+        # broadcast anti-join on the touched cells (untouched blobs are
+        # neither shuffled, deserialized, NOR rewritten to storage),
+        # unioned with the delta. localCheckpoint truncates the delta's
+        # lineage (which references the parent via the semi-join), so
+        # chained updates grow the plan by one anti-join per fragment —
+        # linear, not exponential.
+        delta = new_blobs.localCheckpoint(eager=True)
+        # handle to the checkpoint's materialized RDD (the LogicalRDD
+        # the checkpointed frame wraps — queryExecution().toRdd() is
+        # only a wrapper over it): DataFrame.unpersist is a cache-
+        # manager call and does NOT free localCheckpoint blocks, so
+        # unpersist() releases them through this handle instead of
+        # waiting for nondeterministic GC + ContextCleaner
         try:
-            ckpt_rdd = new_df._jdf.queryExecution().logical().rdd()
+            delta_rdd = delta._jdf.queryExecution().logical().rdd()
         except Exception:
-            ckpt_rdd = None
+            delta_rdd = None
+        frags = [f.join(F.broadcast(touched), "cell", "left_anti")
+                 for f in self._frags] + [delta]
+        handles = dict(self._ckpt_handles)
+        handles[str(uuid.uuid4())[:8]] = delta_rdd
+        handles[str(uuid.uuid4())[:8]] = touched_rdd
+        cached = list(self._cached_frames)
+        compacted = False
+        if len(frags) > COMPACT_EVERY:
+            # compaction: one full materialization every COMPACT_EVERY
+            # generations bounds both fragment count and the anti-join
+            # stack; the pre-compaction fragments' blocks are freed when
+            # superseded versions call unpersist(successor=...) — they
+            # are NOT inherited past this point.
+            union = frags[0]
+            for f in frags[1:]:
+                union = union.unionByName(f)
+            full = union.localCheckpoint(eager=True)
+            try:
+                full_rdd = full._jdf.queryExecution().logical().rdd()
+            except Exception:
+                full_rdd = None
+            frags = [full]
+            handles = {str(uuid.uuid4())[:8]: full_rdd}
+            cached = []
+            compacted = True
+        new_df = frags[0]
+        for f in frags[1:]:
+            new_df = new_df.unionByName(f)
+        # count() is column-pruned (no blob bytes leave the cache)
+        ncells = new_df.count()
         manifest = dict(kind="update", base_version=self.manifest.get("version"),
-                        cells=ncells, wall_sec=time.time() - t0,
+                        cells=ncells, frags=len(frags), compacted=compacted,
+                        wall_sec=time.time() - t0,
                         coord_cols=cc, version=str(uuid.uuid4())[:8])
         new = SpatialIndex(self.spark, grid, new_df, manifest,
                            coord_cols=self.coord_cols)
+        new._frags = frags
+        new._ckpt_handles = handles
+        new._cached_frames = cached
         # the touched-cell set (O(batch), never O(index)) lets an
         # incremental snapshot commit (catalog.SnapshotStore) rewrite
         # only the buckets this update changed
         new.touched_cells_df = touched
-        new._ckpt_rdd = ckpt_rdd
         return new
 
-    def unpersist(self) -> None:
+    def cache(self) -> "SpatialIndex":
+        """Cache this version's blob table and register the cached frame
+        for successor-aware release (used after load())."""
+        self.df = self.df.cache()
+        self._frags = [self.df]
+        self._cached_frames = [self.df]
+        return self
+
+    def unpersist(self, successor: "SpatialIndex | None" = None) -> None:
         """Release this version's storage (streaming indexers call this
         on superseded versions to bound executor storage): the cached
-        blob/stats tables AND, for update()-produced versions, the
-        localCheckpoint RDD blocks (which DataFrame.unpersist alone
-        never touches)."""
+        stats table always; cached blob frames and localCheckpoint RDD
+        blocks ONLY where `successor` (the version that replaced this
+        one) does not still reference them — a delta-update child shares
+        its parent's fragments, so freeing those would sever the child's
+        truncated lineage. After a compaction the child inherits
+        nothing, and the superseded version's whole storage is freed."""
         try:
-            self.df.unpersist()
             if self._cell_stats is not None:
                 self._cell_stats.unpersist()
         except Exception:
             pass
-        ckpt = getattr(self, "_ckpt_rdd", None)
-        if ckpt is not None:
-            try:
-                ckpt.unpersist(False)
-            except Exception:
-                pass
+        succ_cached = successor._cached_frames if successor is not None else []
+        succ_keys = (set(successor._ckpt_handles)
+                     if successor is not None else set())
+        for fr in self._cached_frames:
+            if not any(fr is sc for sc in succ_cached):
+                try:
+                    fr.unpersist()
+                except Exception:
+                    pass
+        for key, h in self._ckpt_handles.items():
+            if key not in succ_keys and h is not None:
+                try:
+                    h.unpersist(False)
+                except Exception:
+                    pass
             self._ckpt_rdd = None
 
     # -------------------------------------------------------------- persist

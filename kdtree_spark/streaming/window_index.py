@@ -71,8 +71,7 @@ class SlidingWindowIndexer:
         with open(self._state_path()) as f:
             st = json.load(f)
         self._snapshot = st["snapshot_id"]
-        self.index = self._store.load(self.spark, self._snapshot)
-        self.index.df = self.index.df.cache()
+        self.index = self._store.load(self.spark, self._snapshot).cache()
         self.live_slices = list(st["live_slices"])
         for t in self.live_slices:
             self._history[t] = self.spark.read.parquet(self._slice_path(t))
@@ -118,10 +117,12 @@ class SlidingWindowIndexer:
                     evict = self._history.pop(evicted)
                 old = self.index
                 self.index = old.update(inserts=sdf, deletes=evict)
-                # the new version is materialized (update() counts it);
-                # release the superseded version's cache so storage stays
-                # O(window), not O(stream lifetime)
-                old.unpersist()
+                # release what the superseded version holds that the new
+                # one does not reference (delta updates share fragments,
+                # so this frees the stats cache each slice and the full
+                # pre-compaction storage at every compaction boundary) —
+                # storage stays O(window), not O(stream lifetime)
+                old.unpersist(successor=self.index)
                 if evict is not None:
                     evict.unpersist()
             self.live_slices.append(t)
