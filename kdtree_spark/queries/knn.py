@@ -260,7 +260,12 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
     pruning (phase 2) uses only the two grid dims — a lower bound on the
     full-d distance, so exactness is preserved for any d."""
     cc = list(index.coord_cols)
-    cand = knn_candidates(index, queries, k)
+    # the cold/hot split consumes the candidate set twice; checkpoint
+    # the (small, O(queries x cells-per-query)) candidates so phases
+    # 1+2 — two cogroups and a stats join — run once, not once per
+    # branch (blocks are freed by the ContextCleaner once the result
+    # is no longer referenced)
+    cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
 
     # ---- phase 3: per-cell local top-k with ub pruning; hot (salted)
     # cells fan out to one task per blob (cogroup on (cell, salt)) so
@@ -309,7 +314,7 @@ def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
     (tests/testFramework.h:505-517, knn.csv last column); it reruns the
     search with counting on, so it is for audits, not the hot path."""
     cc = list(index.coord_cols)
-    cand = knn_candidates(index, queries, k)
+    cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
 
     def cell_count(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
                    ) -> pd.DataFrame:

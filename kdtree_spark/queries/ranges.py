@@ -116,9 +116,11 @@ def range_count(index: SpatialIndex, boxes) -> DataFrame:
     # cogroup; only boundary pairs pay the Arrow hop + tree scan
     contained = ((F.col("xmin") >= F.col("bxlo")) & (F.col("xmax") <= F.col("bxhi"))
                  & (F.col("ymin") >= F.col("bylo")) & (F.col("ymax") <= F.col("byhi")))
+    # the (box, cell) prune join feeds three consumers (contained agg,
+    # cold scan, hot scan); checkpoint it so it is computed once
     pairs = joined.withColumn("full", contained).select(
         "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "ccnt", "full",
-        "maxsalt")
+        "maxsalt").localCheckpoint(eager=True)
     full_counts = (pairs.filter(F.col("full"))
                    .groupBy("box_id").agg(F.sum("ccnt").alias("cnt")))
     bnd = pairs.filter(~F.col("full")).select(
@@ -154,7 +156,8 @@ def range_report(index: SpatialIndex, boxes) -> DataFrame:
         index, bdf, len(boxes),
         (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
         & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo"))
-    ).select("box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "maxsalt")
+    ).select("box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "maxsalt") \
+        .localCheckpoint(eager=True)  # consumed by both scan branches
 
     def scan(key, bpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(bpdf) == 0 or len(ipdf) == 0:
@@ -203,7 +206,8 @@ def circle_count(index: SpatialIndex, circles) -> DataFrame:
     r2 = F.col("r") * F.col("r")
     joined = _prune_join(index, cdf, len(circles), mind2 <= r2)
     pairs = joined.withColumn("full", maxd2 <= r2).select(
-        "circle_id", "cx", "cy", "r", "cell", "ccnt", "full", "maxsalt")
+        "circle_id", "cx", "cy", "r", "cell", "ccnt", "full", "maxsalt") \
+        .localCheckpoint(eager=True)  # three consumers, compute once
     full_counts = (pairs.filter(F.col("full"))
                    .groupBy("circle_id").agg(F.sum("ccnt").alias("cnt")))
     bnd = pairs.filter(~F.col("full")).select(
