@@ -267,3 +267,53 @@ def test_range_hot_cell_salted_exact(spark):
     for cid, cx, cy, r in circles:
         d2 = ((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2)
         assert gotc[cid] == int((d2 <= r * r).sum())
+
+
+def test_delta_update_materializes_only_touched(spark):
+    """Delta-versioning contract: an update's checkpointed delta holds
+    ONLY the touched cells' blobs (O(batch), not O(index)); fragment
+    count grows by one per generation and resets at compaction; chained
+    results stay exact."""
+    import pandas as pd
+    from kdtree_spark.index import COMPACT_EVERY
+
+    rng = np.random.default_rng(31)
+    n = 30000
+    pts = pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, 1_000_000, n).astype(np.int64),
+        "y": rng.integers(0, 1_000_000, n).astype(np.int64)})
+    idx = SpatialIndex.build(spark, spark.createDataFrame(pts),
+                             grid=Grid(16), n_hint=n)
+    ncells_total = idx.df.count()
+    # tiny batch confined to one corner -> few touched cells
+    ins = pd.DataFrame({
+        "pid": np.arange(10**7, 10**7 + 64, dtype=np.int64),
+        "x": rng.integers(0, 50_000, 64).astype(np.int64),
+        "y": rng.integers(0, 50_000, 64).astype(np.int64)})
+    up = idx.update(inserts=spark.createDataFrame(ins))
+    assert up.manifest["frags"] == 2 and not up.manifest["compacted"]
+    # the delta fragment (last frag) holds only the touched cells
+    delta_cells = up._frags[-1].count()
+    touched = up.touched_cells_df.count()
+    assert delta_cells <= touched + 1 < ncells_total / 4
+    # untouched fragment + delta reconstruct the full index exactly
+    assert up.df.count() == ncells_total  # same cells (no new cells here
+    # beyond touched ones that already existed)
+    total = up.df.agg(F.sum("cnt")).collect()[0][0]
+    assert total == n + 64
+    # drive past compaction
+    cur = up
+    compactions = 0
+    for g in range(COMPACT_EVERY + 1):
+        b = pd.DataFrame({
+            "pid": np.arange(2 * 10**7 + g * 100,
+                             2 * 10**7 + g * 100 + 50, dtype=np.int64),
+            "x": rng.integers(0, 1_000_000, 50).astype(np.int64),
+            "y": rng.integers(0, 1_000_000, 50).astype(np.int64)})
+        cur = cur.update(inserts=spark.createDataFrame(b))
+        compactions += int(cur.manifest["compacted"])
+    assert compactions >= 1
+    assert cur.manifest["frags"] <= COMPACT_EVERY
+    total = cur.df.agg(F.sum("cnt")).collect()[0][0]
+    assert total == n + 64 + 50 * (COMPACT_EVERY + 1)
