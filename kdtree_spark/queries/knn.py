@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..index import SpatialIndex
 from ..localtree import LocalKDTree
+from .skew import FANOUT_MIN_BLOBS
 from .skew import hot_blobs as _hot_blobs
 from .skew import split_by_salt as _split_by_salt
 
@@ -234,9 +235,9 @@ def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
     # so it folds into the shuffle phase 1 pays anyway.
     qstat = qcell.join(index.cell_stats().select("cell", "maxsalt"),
                        "cell", "left")
-    cold_q = (qstat.filter(F.coalesce(F.col("maxsalt"), F.lit(0)) == 0)
-              .drop("maxsalt"))
-    hot_q = (qstat.filter(F.col("maxsalt") > 0)
+    hot_pred = F.coalesce(F.col("maxsalt"), F.lit(0)) + 1 >= FANOUT_MIN_BLOBS
+    cold_q = qstat.filter(~hot_pred).drop("maxsalt")
+    hot_q = (qstat.filter(hot_pred)
              .withColumn("salt", F.explode(
                  F.sequence(F.lit(0), F.col("maxsalt"))))
              .drop("maxsalt"))
