@@ -114,7 +114,6 @@ class LocalKDTree:
         if not rotate and split_rule != "max_stretch":
             raise ValueError(split_rule)
         n, d = pts.shape
-        perm = np.arange(n, dtype=np.int64)
         split_dim, split_val = [], []
         left, right, start, end, nbox = [], [], [], [], []
 
@@ -129,47 +128,72 @@ class LocalKDTree:
             nbox.append(None)
             return i
 
+        # level-synchronous construction over a physically-reordered
+        # working copy: per level, ONE interleaved ufunc.reduceat pass
+        # computes every active segment's bbox (a per-node min/max +
+        # subarray gather was the profile's dominant cost), then each
+        # splitting node pays exactly one argpartition and one in-place
+        # reorder of its contiguous segment. Node numbering and split
+        # choices replicate the recursive form bit-for-bit.
+        work = pts.copy()
+        wids = ids.copy()
         if n == 0:
             root = new_node()
             nbox[root] = np.zeros(2 * d, np.int64)
         else:
-            # iterative: stack of (node_id, lo, hi, depth)
             root = new_node()
-            stack = [(root, 0, n, 0)]
-            while stack:
-                node, lo, hi, dep = stack.pop()
-                sub = pts[perm[lo:hi]]
-                mn = sub.min(axis=0)
-                mx = sub.max(axis=0)
-                nbox[node] = np.concatenate([mn, mx])
-                widths = mx - mn
-                if hi - lo <= leaf_wrap or widths.max() == 0:
-                    # leaf; widths==0 -> all points identical (dummy-leaf
-                    # analogue, build_tree.hpp:183-186)
+            fr_nodes = [root]
+            fr_lo = [0]
+            fr_hi = [n]
+            dep = 0
+            while fr_nodes:
+                lo_a = np.asarray(fr_lo, np.int64)
+                hi_a = np.asarray(fr_hi, np.int64)
+                idxs = np.empty(2 * len(lo_a), np.int64)
+                idxs[0::2] = lo_a
+                idxs[1::2] = hi_a
+                if idxs[-1] == n:  # reduceat indices must be < n; the
+                    idxs = idxs[:-1]  # final reduce then runs to the end
+                mns = np.minimum.reduceat(work, idxs, axis=0)[0::2]
+                mxs = np.maximum.reduceat(work, idxs, axis=0)[0::2]
+                widths_all = mxs - mns
+                nx_nodes, nx_lo, nx_hi = [], [], []
+                for j, node in enumerate(fr_nodes):
+                    lo = int(lo_a[j])
+                    hi = int(hi_a[j])
+                    nbox[node] = np.concatenate([mns[j], mxs[j]])
+                    widths = widths_all[j]
+                    if hi - lo <= leaf_wrap or widths.max() == 0:
+                        # leaf; widths==0 -> all points identical (dummy-
+                        # leaf analogue, build_tree.hpp:183-186)
+                        start[node], end[node] = lo, hi
+                        continue
+                    if rotate:
+                        # ROTATE_DIM: cycle dims by depth, skipping zero-
+                        # width dims (a zero-width split sends all one way)
+                        dim = dep % d
+                        while widths[dim] == 0:
+                            dim = (dim + 1) % d
+                    else:
+                        dim = int(np.argmax(widths))  # max-stretch dim
+                    m = (hi - lo) // 2                # object median
+                    seg = work[lo:hi]
+                    order = np.argpartition(seg[:, dim], m)
+                    work[lo:hi] = seg[order]
+                    wids[lo:hi] = wids[lo:hi][order]
+                    split_dim[node] = dim
+                    split_val[node] = int(work[lo + m, dim])
                     start[node], end[node] = lo, hi
-                    continue
-                if rotate:
-                    # ROTATE_DIM: cycle dims by depth, skipping zero-width
-                    # dims (a zero-width split would send everything one way)
-                    dim = dep % d
-                    while widths[dim] == 0:
-                        dim = (dim + 1) % d
-                else:
-                    dim = int(np.argmax(widths))  # max-stretch split dim
-                m = (hi - lo) // 2            # object median
-                order = np.argpartition(sub[:, dim], m)
-                perm[lo:hi] = perm[lo:hi][order]
-                sv = int(pts[perm[lo + m], dim])
-                split_dim[node] = dim
-                split_val[node] = sv
-                start[node], end[node] = lo, hi
-                l_ = new_node()
-                r_ = new_node()
-                left[node], right[node] = l_, r_
-                stack.append((l_, lo, lo + m, dep + 1))
-                stack.append((r_, lo + m, hi, dep + 1))
+                    l_ = new_node()
+                    r_ = new_node()
+                    left[node], right[node] = l_, r_
+                    nx_nodes += [l_, r_]
+                    nx_lo += [lo, lo + m]
+                    nx_hi += [lo + m, hi]
+                fr_nodes, fr_lo, fr_hi = nx_nodes, nx_lo, nx_hi
+                dep += 1
 
-        pts_store = pts[perm] if n else pts
+        pts_store = work
         # store coords int32 when they fit (reference domain is [0,1e6]^d,
         # data_generate.cpp:19): halves the dominant blob component, so
         # serialization, shuffle, cache and Arrow volume all drop ~33%;
@@ -180,7 +204,7 @@ class LocalKDTree:
             pts_store = pts_store.astype(np.int32)
         return cls(
             pts=pts_store,
-            ids=ids[perm] if n else ids,
+            ids=wids,
             split_dim=np.asarray(split_dim, np.int16),
             split_val=np.asarray(split_val, np.int64),
             left=np.asarray(left, np.int32),
