@@ -282,8 +282,10 @@ class SpatialIndex:
         # so its lineage must not reference the caller's input frames
         # (a streaming caller deletes evicted slice files) — checkpoint
         # truncates it to an O(batch) materialized list of cell ids
+        # lazy: materializes inside the delta's checkpoint job below
+        # (one fewer Spark job per update)
         touched = (ups.select("cell").distinct()
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
         try:
             touched_rdd = touched._jdf.queryExecution().logical().rdd()
         except Exception:
@@ -340,10 +342,11 @@ class SpatialIndex:
         new_df = frags[0]
         for f in frags[1:]:
             new_df = new_df.unionByName(f)
-        # count() is column-pruned (no blob bytes leave the cache)
-        ncells = new_df.count()
+        # no per-update blob-row count: nothing load-bearing reads it
+        # (save() audits its own row counts) and it cost a Spark job
+        # per chained update
         manifest = dict(kind="update", base_version=self.manifest.get("version"),
-                        cells=ncells, frags=len(frags), compacted=compacted,
+                        frags=len(frags), compacted=compacted,
                         wall_sec=time.time() - t0,
                         coord_cols=cc, version=str(uuid.uuid4())[:8])
         new = SpatialIndex(self.spark, grid, new_df, manifest,
