@@ -157,7 +157,10 @@ class SnapshotStore:
         # audit before publish: the manifest's files must read back to
         # exactly the committed cell count (write-audit-publish)
         back = self._read(index.spark, manifest).count()
-        assert back == manifest["cells"], (back, manifest["cells"])
+        if back != manifest["cells"]:  # not assert: must survive python -O
+            raise RuntimeError(
+                f"snapshot audit failed before publish: re-read {back} "
+                f"rows != committed {manifest['cells']}")
         self._publish(sid, {
             "snapshot_id": sid, "parent_id": parent,
             "operation": manifest["operation"], "ts": time.time(),

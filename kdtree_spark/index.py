@@ -224,6 +224,14 @@ class SpatialIndex:
         Dimension-generic: works for any d = len(coord_cols) >= 2, same
         as the reference's dim-templated batch ops (`batch_insert.hpp:
         60-191`, `batch_delete.hpp:75-107`).
+
+        Same-batch semantics: DELETES APPLY BEFORE INSERTS within one
+        call. Deletes are routed by membership against the PRE-batch
+        index, so a pid that appears in both `deletes` and `inserts` of
+        the same batch has its old point removed (if present) and its
+        new point inserted — the delete never targets the same batch's
+        insert. Feeding the same pid twice through `inserts` of one
+        batch is a caller error (ids are unique in the data model).
         """
         t0 = time.time()
         grid = self.grid
@@ -397,7 +405,6 @@ class SpatialIndex:
                     h.unpersist(False)
                 except Exception:
                     pass
-            self._ckpt_rdd = None
 
     # -------------------------------------------------------------- persist
     def save(self, path: str) -> str:
@@ -416,7 +423,9 @@ class SpatialIndex:
             json.dump(audit, f, indent=1)
         # audit: re-read row count matches
         back = self.spark.read.parquet(os.path.join(tmp, "index")).count()
-        assert back == audit["cells"], "audit failed: row count mismatch"
+        if back != audit["cells"]:  # not assert: must survive python -O
+            raise RuntimeError(
+                f"audit failed: re-read {back} rows != {audit['cells']}")
         if os.path.exists(path):
             os.rename(path, path + f".old-{uuid.uuid4().hex[:8]}")
         os.rename(tmp, path)

@@ -133,8 +133,9 @@ class LocalKDTree:
         # computes every active segment's bbox (a per-node min/max +
         # subarray gather was the profile's dominant cost), then each
         # splitting node pays exactly one argpartition and one in-place
-        # reorder of its contiguous segment. Node numbering and split
-        # choices replicate the recursive form bit-for-bit.
+        # reorder of its contiguous segment. Split choices replicate the
+        # recursive form; node ids renumber breadth-first (blobs are not
+        # byte-compatible with pre-rewrite builds, semantics identical).
         work = pts.copy()
         wids = ids.copy()
         if n == 0:

@@ -38,7 +38,7 @@ def main() -> None:
     ap.add_argument("--output", required=True,
                     help="where to write the metrics JSON")
     ap.add_argument("--grid", type=int, default=8,
-                    help="grid granularity g (2^g x 2^g cells)")
+                    help="grid granularity g (g x g cell grid)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--snapshot-dir", default=None,
                     help="optional: SnapshotStore root; when given the "
