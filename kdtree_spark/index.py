@@ -44,7 +44,12 @@ from .localtree import LocalKDTree
 
 INDEX_SCHEMA = ("cell long, salt int, cnt long, nextra long, ntomb long, "
                 "depth int, xmin long, ymin long, xmax long, ymax long, "
-                "bbox array<bigint>, blob binary")
+                "bbox array<bigint>, probe array<bigint>, blob binary")
+
+SUPER_MAX_G = 64  # coarse-level grid is at most SUPER_MAX_G per dim, so
+# the super-cell stats table never exceeds 64x64 = 4096 rows — small
+# enough to broadcast for the sparse-query kNN fallback at ANY scale
+# (1.2e8 fine cells at the 1e12-row projection coarsen to these 4096)
 
 STATS_COLS = ["cell", "salt", "cnt", "nextra", "ntomb", "depth",
               "xmin", "ymin", "xmax", "ymax"]
@@ -76,6 +81,7 @@ def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
                 xmin=int(lo[0]), ymin=int(lo[1]),
                 xmax=int(hi[0]), ymax=int(hi[1]),
                 bbox=[int(v) for v in np.concatenate([lo, hi])],
+                probe=tree.probe_sample(),
                 blob=tree.to_bytes())
 
 
@@ -101,6 +107,7 @@ class SpatialIndex:
         self.coord_cols = tuple(coord_cols)
         self._stats_pd: pd.DataFrame | None = None
         self._cell_stats: DataFrame | None = None
+        self._super_stats: DataFrame | None = None
         # delta versioning (update()): df == union of fragments; each
         # update checkpoints ONLY its touched-cell delta and layers a
         # broadcast anti-join over inherited fragments. _ckpt_handles
@@ -199,6 +206,55 @@ class SpatialIndex:
             self._cell_stats = agg.select(
                 *[F.col(c).alias(c) for c in agg.columns]).cache()
         return self._cell_stats
+
+    def probes(self) -> DataFrame:
+        """(cell, probe): per-blob live-point samples (localtree.
+        probe_sample) — the phase-1 kNN bound-seeding side. A plain
+        column projection of the cached index table: the per-query-job
+        semi-join on home cells happens in queries/knn.py, so only the
+        samples of cells a batch actually queries are ever shipped."""
+        if "probe" in self.df.columns:
+            return self.df.filter(F.col("cnt") > 0).select("cell", "probe")
+        # legacy blobs (pre-probe snapshots): no samples — every query
+        # seeds from the super-cell stats fallback instead
+        return (self.df.limit(0)
+                .select("cell", F.array().cast("array<bigint>")
+                        .alias("probe")))
+
+    def super_grid(self) -> tuple:
+        """(S, sg): fine cells coarsen by S per dim into an sg x sg
+        super grid with sg <= SUPER_MAX_G (so <= 4096 super cells)."""
+        g = self.grid.g
+        S = (g + SUPER_MAX_G - 1) // SUPER_MAX_G
+        sg = (g + S - 1) // S
+        return S, sg
+
+    def super_stats(self) -> DataFrame:
+        """Coarse-level stats: cell_stats re-aggregated onto the super
+        grid — (scell, ccnt, xmin, ymin, xmax, ymax[, mn{j}, mx{j}]).
+        At most 4096 rows at ANY index size (SUPER_MAX_G), so sparse
+        kNN queries can bound their radius against it with a broadcast
+        join instead of a crossJoin against the full O(cells) stats
+        table (the reference analogue: the top levels of one global
+        tree, build_tree.hpp:49-70, which every query can afford to
+        descend)."""
+        if self._super_stats is None:
+            d = len(self.coord_cols)
+            g = self.grid.g
+            S, sg = self.super_grid()
+            cs = self.cell_stats()
+            scell = F.expr(
+                f"(cell DIV {g} DIV {S}) * {sg} + (cell % {g}) DIV {S}")
+            aggs = [F.sum("ccnt").alias("ccnt"),
+                    F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+                    F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax")]
+            for j in range(2, d):
+                aggs.append(F.min(f"mn{j}").alias(f"mn{j}"))
+                aggs.append(F.max(f"mx{j}").alias(f"mx{j}"))
+            agg = cs.groupBy(scell.alias("scell")).agg(*aggs)
+            self._super_stats = agg.select(
+                *[F.col(c).alias(c) for c in agg.columns]).cache()
+        return self._super_stats
 
     # ---------------------------------------------------------------- updates
     def update(self, inserts: DataFrame | None = None,
@@ -385,11 +441,12 @@ class SpatialIndex:
         its parent's fragments, so freeing those would sever the child's
         truncated lineage. After a compaction the child inherits
         nothing, and the superseded version's whole storage is freed."""
-        try:
-            if self._cell_stats is not None:
-                self._cell_stats.unpersist()
-        except Exception:
-            pass
+        for st in (self._cell_stats, self._super_stats):
+            try:
+                if st is not None:
+                    st.unpersist()
+            except Exception:
+                pass
         succ_cached = successor._cached_frames if successor is not None else []
         succ_keys = (set(successor._ckpt_handles)
                      if successor is not None else set())

@@ -289,6 +289,25 @@ class LocalKDTree:
             pts, ids = pts[mask], ids[mask]
         return pts, ids
 
+    def probe_sample(self, cap: int = 1024) -> list:
+        """Deterministic stride sample of up to `cap` LIVE points,
+        flattened row-major coords — the per-cell probe set the
+        distributed kNN seeds its prune bound from (queries/knn.py
+        phase 1): the kth smallest distance² to any k live points is a
+        valid upper bound on the true kth-NN distance², tight within a
+        (n_live/cap)^(1/d) radius factor in any dimension. The stride
+        runs over tree order, so every leaf region contributes
+        proportionally (clusters stay represented). ~cap*d*8 bytes per
+        blob — the ONLY point data a kNN job ships for bound-seeding,
+        the distributed analogue of the reference's one-descent seed
+        (query_op/nn_search.hpp:83-126)."""
+        pts, _ = self.live_points()
+        n = len(pts)
+        if n == 0:
+            return []
+        step = max(1, -(-n // cap))  # ceil(n / cap)
+        return [int(v) for v in pts[::step].ravel()]
+
     def needs_rebuild(self) -> bool:
         n = max(self.n_base, 1)
         churn = len(self.extra_ids) + len(self.tomb_ids)
@@ -425,7 +444,10 @@ class LocalKDTree:
         # upper bound (exact-safe: pruning drops only subtrees/points
         # strictly beyond a valid kth upper bound, so distance-ties at
         # the bound still reach the (dist², id) tie-break); bounded
-        # searches keep the caller's ub
+        # searches keep the caller's ub. (An unconditional
+        # min(ub, knn_bound) tighten was measured a net LOSS: salted
+        # hot cells replicate queries per blob, and the extra per-blob
+        # bound descent + block scan dominated the varden leg 3x.)
         bound = (self.knn_bound(q, k) if ub is None
                  else np.asarray(ub, np.float64).copy())
 

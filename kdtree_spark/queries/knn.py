@@ -5,10 +5,21 @@ visiting the sibling subtree only when its bounding-box min-distance
 beats the current kth-best (`query_op/nn_search.hpp:83-126`). Across a
 cluster that sibling-pruning becomes *cell* pruning:
 
-  phase 1  queries cogroup with their HOME cell -> a cheap block-scan
-           probe (LocalKDTree.knn_bound: kth distance within the
-           deepest >=max(2k,128)-point enclosing subtree block) gives a
-           per-query VALID upper bound ub on the kth distance
+  phase 1  PROBE-SAMPLE seed bound: each index blob carries a ~1024-pt
+           deterministic live sample (localtree.probe_sample); queries
+           cogroup with ONLY their distinct home cells' samples
+           (broadcast semi-join) and take the kth smallest distance² to
+           the pooled sample — a VALID upper bound ub on the kth
+           distance, tight within a (cell/sample)^(1/d) radius factor
+           in any d. Sample bytes are ~1-10% of blob bytes and scale
+           with the batch's home-cell set, never with index size; full
+           blobs never cross Arrow for bound-seeding. Queries the
+           samples cannot bound (empty home cell, k above the pooled
+           sample) fall back to a prefix-sum window over the <= 4096-
+           row broadcast super-cell stats (index.super_stats): blocks
+           ordered by farthest-corner distance², cumulative live count
+           >= k -> bound. Only an index with < k live points total
+           leaves ub = inf.
   phase 2  candidate (query, cell) pairs, fully Spark-side: each query
            geometrically enumerates the grid cells inside its ub-radius
            square (pure numpy on the regular grid — no stats broadcast,
@@ -16,16 +27,16 @@ cluster that sibling-pruning becomes *cell* pruning:
            against the cluster-resident cell-stats table refines with
            the data-bbox min-distance² <= ub test
            (p2b_min_distance analogue, nn_search.hpp:22-35) and drops
-           empty cells. Queries with ub = inf (< k found at home) or a
-           radius covering > ENUM_CAP cells fall back to a join against
-           the full stats table, where a prefix-sum window over cells
-           ordered by bbox min-dist² derives a VALID finite bound (the
-           max-dist² to the minimal prefix of cells holding >= k live
-           points) — so even those queries reach phase 3 with a tight
-           candidate set instead of scanning every blob; only this
-           metadata pass scales with cell count
-  phase 3  candidates shuffle to their cells; per-blob batched tree
-           search with ub as the prune bound -> local top-k per cell
+           empty cells. Queries whose radius covers > ENUM_CAP cells
+           (or ub = inf) instead broadcast-join the super-cell stats,
+           keep super cells within ub, and explode only those into
+           their fine children — never an O(#queries x #cells) plan.
+  phase 3  candidates shuffle to their cells; the blob side is PRUNED
+           FIRST by a broadcast semi-join on the distinct candidate
+           cells (the same pattern update() uses for touched cells), so
+           the bytes crossing the Arrow hop scale with candidate cells,
+           not index size; then per-blob batched tree search with ub as
+           the prune bound -> local top-k per cell
   phase 4  global top-k: min-k over per-cell top-k's via a window on
            (dist², nid) — deterministic tie-break identical to the
            DuckDB oracle's ORDER BY
@@ -49,7 +60,6 @@ from pyspark.sql import functions as F
 
 from ..index import SpatialIndex
 from ..localtree import LocalKDTree
-from .skew import FANOUT_MIN_BLOBS
 from .skew import hot_blobs as _hot_blobs
 from .skew import split_by_salt as _split_by_salt
 
@@ -58,25 +68,139 @@ def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None,
                stats: dict | None = None):
     """Best-k over every blob of one cell group; returns (dist2, ids)."""
     m = qpts.shape[0]
-    best_d = np.full((m, k), np.inf)
-    best_i = np.full((m, k), -1, np.int64)
+    best_d = best_i = None
     bound = None if ub is None else np.asarray(ub, np.float64).copy()
     for blob in blobs:
         tree = LocalKDTree.from_bytes(blob)
         d, i = tree.knn(qpts, k, ub=bound, stats=stats)
-        cat_d = np.concatenate([best_d, d], axis=1)
-        cat_i = np.concatenate([best_i, i], axis=1)
-        ordr = np.lexsort((cat_i, cat_d), axis=1)[:, :k]
-        rows = np.arange(m)[:, None]
-        best_d = cat_d[rows, ordr]
-        best_i = cat_i[rows, ordr]
+        if best_d is None:
+            # knn() rows are (dist², id)-sorted with (inf, -1) padding
+            # at the end — for the first (and most often only) blob the
+            # result IS the running best; no merge sort needed
+            best_d, best_i = d, i
+        else:
+            cat_d = np.concatenate([best_d, d], axis=1)
+            cat_i = np.concatenate([best_i, i], axis=1)
+            ordr = np.lexsort((cat_i, cat_d), axis=1)[:, :k]
+            rows = np.arange(m)[:, None]
+            best_d = cat_d[rows, ordr]
+            best_i = cat_i[rows, ordr]
         if bound is not None:
             bound = np.minimum(bound, best_d[:, k - 1])
+    if best_d is None:
+        best_d = np.full((m, k), np.inf)
+        best_i = np.full((m, k), -1, np.int64)
     return best_d, best_i
 
 
 ENUM_CAP = 4096  # max geometrically-enumerated cells per query; beyond
-                 # this (or ub = inf) the query joins the full stats table
+                 # this (or ub = inf) the query takes the super-cell path
+
+
+def _bbox_exprs(cc: list, lo_cols: list, hi_cols: list):
+    """(mind2, maxd2) Spark expressions: squared L2 from the point in
+    columns `cc` to the nearest / farthest corner of the bbox in
+    (lo_cols, hi_cols). Exact in float64 for int64 coords < 2^20 per
+    dim (diffs < 2^21, squares < 2^42, d <= 16 sums < 2^46) — identical
+    to the numpy kernels bit-for-bit, whole-stage-codegen JVM-side."""
+    mind2 = maxd2 = None
+    for c, lo, hi in zip(cc, lo_cols, hi_cols):
+        mn = F.pow(F.greatest(F.col(lo) - F.col(c),
+                              F.col(c) - F.col(hi), F.lit(0)), 2)
+        # farthest corner: per-dim max(q - lo, hi - q) is >= 0 when lo <= hi
+        mx = F.pow(F.greatest(F.col(c) - F.col(lo),
+                              F.col(hi) - F.col(c)), 2)
+        mind2 = mn if mind2 is None else mind2 + mn
+        maxd2 = mx if maxd2 is None else maxd2 + mx
+    return mind2, maxd2
+
+
+def _super_cols(cc: list):
+    d = len(cc)
+    lo = ["xmin", "ymin"] + [f"mn{j}" for j in range(2, d)]
+    hi = ["xmax", "ymax"] + [f"mx{j}" for j in range(2, d)]
+    return lo, hi
+
+
+PROBE_POOL_CAP = 4096        # max pooled probe points per cell group
+
+
+def _seed_bound(index: SpatialIndex, queries: DataFrame, cc: list, k: int
+                ) -> DataFrame:
+    """Phase 1: (qid, coords, ub) — a VALID kth-distance² upper bound
+    per query from the home cell's probe samples (index.probes): the
+    kth smallest distance² to the pooled live sample upper-bounds the
+    true kth for any d, within a (cell/sample)^(1/d) radius factor.
+    Only the probe arrays of the batch's distinct home cells cross
+    Arrow (broadcast semi-join) — ~1-10% of blob bytes, once per job.
+    Queries the samples cannot bound (home cell empty, or k above the
+    pooled sample size) fall back to a prefix-sum window over the
+    <= 4096-row broadcast super-cell stats (index.super_stats)."""
+    grid = index.grid
+    d = len(cc)
+    coord_schema = ", ".join(f"{c} long" for c in cc)
+    home = queries.selectExpr(
+        "qid", *cc, f"{grid.spark_cell_sql(cc[0], cc[1])} AS cell")
+    probes = index.probes().join(
+        F.broadcast(home.select("cell").distinct()), "cell", "semi")
+
+    def probe_ub(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame
+                 ) -> pd.DataFrame:
+        if len(qpdf) == 0:
+            return pd.DataFrame(
+                columns=["qid", *cc, "ub"])
+        out = qpdf[["qid", *cc]].copy()
+        # -1.0 = unbounded -> super-stats fallback (NOT NaN: pandas NaN
+        # becomes SQL NULL through the Arrow hop and would slip every
+        # filter on ub)
+        out["ub"] = -1.0
+        if len(ppdf) == 0:
+            return out
+        pool = np.concatenate([
+            np.asarray(a, np.int64).reshape(-1, d) for a in ppdf["probe"]
+        ]) if len(ppdf) else np.empty((0, d), np.int64)
+        if len(pool) > PROBE_POOL_CAP:  # salted cells pool many samples
+            pool = pool[::-(-len(pool) // PROBE_POOL_CAP)]
+        P = len(pool)
+        if P < k:
+            return out
+        # one tiny tree over the pool, then the block-scan bound kernel:
+        # per query a descent plus one >=max(2k,128)-point block scan —
+        # ~8x fewer flops than a full-pool distance matrix at P=1024,
+        # with the same bound quality (the enclosing sample block holds
+        # the query's nearest sample points)
+        ptree = LocalKDTree.build(pool, np.arange(P, dtype=np.int64))
+        ub = ptree.knn_bound(qpdf[cc].to_numpy(np.int64), k)
+        out["ub"] = np.where(np.isfinite(ub), ub, -1.0)
+        return out
+
+    # dense/needy below and phase 2's near/far branches all re-read the
+    # seed; a lazy checkpoint runs the probe cogroup exactly once
+    seed = (home.groupby("cell")
+            .cogroup(probes.groupby("cell"))
+            .applyInPandas(probe_ub, f"qid long, {coord_schema}, ub double")
+            .localCheckpoint(eager=False))
+    dense = seed.filter(F.col("ub") >= 0)
+    needy = seed.filter(F.col("ub") < 0).drop("ub")
+
+    # super-cell prefix-sum: blocks ordered by farthest-corner dist²;
+    # the first prefix whose live counts reach k holds k points all
+    # within that maxd2 -> valid bound. Enumeration is TOTAL (every
+    # super cell), so ub = inf only when the index has < k live points.
+    sup = index.super_stats()
+    slo, shi = _super_cols(cc)
+    _, maxd2_s = _bbox_exprs(cc, slo, shi)
+    wq = Window.partitionBy("qid")
+    wcum = (wq.orderBy(F.col("maxd2").asc(), F.col("scell").asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    far = (needy.crossJoin(F.broadcast(sup))
+           .withColumn("maxd2", maxd2_s)
+           .withColumn("cum", F.sum("ccnt").over(wcum))
+           .groupBy("qid", *cc)
+           .agg(F.coalesce(
+               F.min(F.when(F.col("cum") >= k, F.col("maxd2"))),
+               F.lit(float("inf"))).alias("ub")))
+    return dense.unionByName(far)
 
 
 def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
@@ -90,19 +214,11 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
     whose data-bbox min-dist² <= ub — the same <= test the reference's
     p2b_min_distance makes, so equal-distance candidates survive for the
     (dist, id) tie-break. Queries whose square exceeds ENUM_CAP cells
-    (or whose home probe found < k points, ub = inf) emit a sentinel
-    (cell = -1) and join against the full stats table; a prefix-sum
-    window over that join (cells ordered by min-dist², cumulate live
-    counts until >= k, bound = max max-dist² over that prefix) replaces
-    inf with a VALID finite kth-distance bound, so no query ever
-    reaches phase 3 with an unbounded candidate set.
-
-    Exactness of the window bound: the minimal prefix of cells (by
-    min-dist²) whose live counts sum to >= k contains k live points,
-    each at distance² <= the prefix's max max-dist²; hence the true
-    kth distance² <= that bound. All distance arithmetic here is exact
-    (int64 diffs < 2^26, squares/sums < 2^53 in float64), matching the
-    phase-3 kernels bit-for-bit.
+    (or ub = inf: the index holds < k points) emit a sentinel
+    (cell = -1) and broadcast-join the <= 4096-row super-cell stats
+    instead: super cells within ub explode into their S x S fine
+    children, which the fine stats join then prunes — work scales with
+    the query's true candidate region, never with total cell count.
     """
     grid = index.grid
     g, cw = grid.g, grid.cw
@@ -153,46 +269,34 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
     enum = with_ub.mapInPandas(
         gen, f"qid long, {coord_schema}, ub double, cell long")
     stats = index.cell_stats()
-    near = enum.filter(F.col("cell") >= 0).join(stats, "cell")
-    far = enum.filter(F.col("cell") < 0).drop("cell").crossJoin(stats)
-    # exact bbox min-dist² <= ub over ALL dims (stats carry the full-d
-    # data bbox, so d>2 pruning is tight, not xy-only), all JVM-side
-    # codegen; the double math (exact int diff -> one multiply -> adds
-    # left-to-right) matches numpy float64
-    mind2 = (F.pow(F.greatest(F.col("xmin") - F.col(xcol),
-                              F.col(xcol) - F.col("xmax"), F.lit(0)), 2)
-             + F.pow(F.greatest(F.col("ymin") - F.col(ycol),
-                                F.col(ycol) - F.col("ymax"), F.lit(0)), 2))
-    # farthest-corner distance² to the cell's data bbox (>= any point in
-    # the cell): per-dim max(q - lo, hi - q) is >= 0 whenever lo <= hi
-    maxd2 = (F.pow(F.greatest(F.col(xcol) - F.col("xmin"),
-                              F.col("xmax") - F.col(xcol)), 2)
-             + F.pow(F.greatest(F.col(ycol) - F.col("ymin"),
-                                F.col("ymax") - F.col(ycol)), 2))
-    for j in range(2, len(cc)):
-        mind2 = mind2 + F.pow(
-            F.greatest(F.col(f"mn{j}") - F.col(cc[j]),
-                       F.col(cc[j]) - F.col(f"mx{j}"), F.lit(0)), 2)
-        maxd2 = maxd2 + F.pow(
-            F.greatest(F.col(cc[j]) - F.col(f"mn{j}"),
-                       F.col(f"mx{j}") - F.col(cc[j])), 2)
-
+    slo, shi = _super_cols(cc)
+    mind2, _ = _bbox_exprs(cc, slo, shi)  # fine stats share these names
     keep = ["qid", *cc, "ub", "cell", "maxsalt"]
-    near_out = near.filter(mind2 <= F.col("ub")).select(*keep)
 
-    # fallback path: derive the finite window bound, then prune with it.
-    # One qid-partitioned window (metadata-only rows), no blobs touched.
-    wq = Window.partitionBy("qid")
-    wcum = (wq.orderBy(F.col("mind2").asc(), F.col("cell").asc())
-            .rowsBetween(Window.unboundedPreceding, -1))
-    far_out = (far.withColumn("mind2", mind2).withColumn("maxd2", maxd2)
-               .withColumn("cum", F.coalesce(F.sum("ccnt").over(wcum),
-                                             F.lit(0)))
-               .withColumn("ubw", F.max(F.when(F.col("cum") < k,
-                                               F.col("maxd2"))).over(wq))
-               .withColumn("ub", F.least("ub", F.coalesce("ubw", "ub")))
-               .filter(F.col("mind2") <= F.col("ub"))
-               .select(*keep))
+    near_out = (enum.filter(F.col("cell") >= 0).join(stats, "cell")
+                .filter(mind2 <= F.col("ub")).select(*keep))
+
+    # super-cell path: bounded by 4096 broadcast rows per query, then
+    # exploded only where the data-bbox can reach the query's bound
+    far = enum.filter(F.col("cell") < 0).drop("cell")
+    sup = index.super_stats()
+    S, sg = index.super_grid()
+    mind2_s, _ = _bbox_exprs(cc, slo, shi)
+    fsup = (far.crossJoin(F.broadcast(sup))
+            .filter(mind2_s <= F.col("ub"))
+            .select("qid", *cc, "ub", "scell"))
+    children = (fsup
+                .selectExpr(
+                    "*",
+                    f"explode(sequence(scell DIV {sg} * {S}, "
+                    f"LEAST(scell DIV {sg} * {S} + {S - 1}, {g - 1}))) AS _cx")
+                .selectExpr(
+                    "*",
+                    f"explode(sequence(scell % {sg} * {S}, "
+                    f"LEAST(scell % {sg} * {S} + {S - 1}, {g - 1}))) AS _cy")
+                .selectExpr("qid", *cc, "ub", f"_cx * {g} + _cy AS cell"))
+    far_out = (children.join(stats, "cell")
+               .filter(mind2 <= F.col("ub")).select(*keep))
     return near_out.unionByName(far_out)
 
 
@@ -202,56 +306,28 @@ def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
     Exposed separately so bench can audit pruning quality (candidate
     cells per query — the reference's visited-node counters analogue,
     testFramework.h:505-517)."""
-    grid = index.grid
     cc = list(index.coord_cols)
-    qcell = queries.selectExpr(
-        "qid", *cc, f"{grid.spark_cell_sql(cc[0], cc[1])} AS cell")
     coord_schema = ", ".join(f"{c} long" for c in cc)
-
-    # ---- phase 1: home-cell upper bound. A cheap VALID bound (deepest
-    # >=max(2k,128)-point block's kth distance, LocalKDTree.knn_bound)
-    # replaces the exact home-cell search: the bound is slightly looser
-    # (a few % more phase-2/3 candidates) but ~20x cheaper at per-cell
-    # batch sizes, and phase 3 recomputes exactly under it anyway.
-    def home_ub(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0:
-            return pd.DataFrame(columns=["qid", *cc, "ub"])
-        out = qpdf[["qid", *cc]].copy()
-        if len(ipdf) == 0:
-            out["ub"] = np.inf
-            return out
-        qpts = qpdf[cc].to_numpy(np.int64)
-        ub = np.full(len(qpdf), np.inf)
-        for blob in ipdf["blob"]:
-            tree = LocalKDTree.from_bytes(blob)
-            ub = np.minimum(ub, tree.knn_bound(qpts, k))
-        out["ub"] = ub
-        return out
-
-    ub_schema = f"qid long, {coord_schema}, ub double"
-    # queries in salted home cells probe one blob per (cell, salt) task
-    # and take the min bound; the left join marks them (null => cold).
-    # The join keys on `cell`, the same partitioning the cogroup needs,
-    # so it folds into the shuffle phase 1 pays anyway.
-    qstat = qcell.join(index.cell_stats().select("cell", "maxsalt"),
-                       "cell", "left")
-    hot_pred = F.coalesce(F.col("maxsalt"), F.lit(0)) + 1 >= FANOUT_MIN_BLOBS
-    cold_q = qstat.filter(~hot_pred).drop("maxsalt")
-    hot_q = (qstat.filter(hot_pred)
-             .withColumn("salt", F.explode(
-                 F.sequence(F.lit(0), F.col("maxsalt"))))
-             .drop("maxsalt"))
-    cold_ub = (cold_q.groupby("cell")
-               .cogroup(index.df.groupby("cell"))
-               .applyInPandas(home_ub, ub_schema))
-    hot_ub = (hot_q.groupby("cell", "salt")
-              .cogroup(_hot_blobs(index).groupby("cell", "salt"))
-              .applyInPandas(home_ub, ub_schema)
-              .groupBy("qid", *cc).agg(F.min("ub").alias("ub")))
-    with_ub = cold_ub.unionByName(hot_ub)
-
-    # ---- phase 2: candidate (qid, cell) pairs, Spark-side
+    with_ub = _seed_bound(index, queries, cc, k)
     return _candidate_cells(index, with_ub, cc, coord_schema, k)
+
+
+def _pruned_blob_sides(index: SpatialIndex, cand: DataFrame):
+    """(cold, hot, cold_blobs, hot_blobs): split the checkpointed
+    candidate set by salt and semi-join the blob table down to the
+    distinct candidate cells of each side BEFORE the cogroup — the
+    update() touched-cells pattern (index.py) applied to reads. The
+    broadcast semi-join preserves the cached blob table's
+    hash-partitioning on `cell`, so the cogroup reuses the existing
+    exchange AND only candidate-cell blobs are serialized through
+    Arrow (bytes shipped scale with the query's candidate set, not
+    with index size)."""
+    cold, hot = _split_by_salt(cand)
+    cold_blobs = index.df.join(
+        F.broadcast(cold.select("cell").distinct()), "cell", "semi")
+    hblobs = _hot_blobs(index).join(
+        F.broadcast(hot.select("cell").distinct()), "cell", "semi")
+    return cold, hot, cold_blobs, hblobs
 
 
 def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
@@ -261,10 +337,10 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
     pruning (phase 2) uses only the two grid dims — a lower bound on the
     full-d distance, so exactness is preserved for any d."""
     cc = list(index.coord_cols)
-    # the cold/hot split consumes the candidate set twice; checkpoint
-    # the (small, O(queries x cells-per-query)) candidates so phases
-    # 1+2 — two cogroups and a stats join — run once, not once per
-    # branch (blocks are freed by the ContextCleaner once the result
+    # the cold/hot split and the blob semi-joins consume the candidate
+    # set several times; checkpoint the (small, O(queries x
+    # cells-per-query)) candidates so phases 1+2 run once, not once per
+    # consumer (blocks are freed by the ContextCleaner once the result
     # is no longer referenced)
     cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
 
@@ -287,13 +363,13 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
                              "dist_sq": dd[ok]})
 
     out_schema = "qid long, nid long, dist_sq double"
-    cold, hot = _split_by_salt(cand)
+    cold, hot, cold_blobs, hblobs = _pruned_blob_sides(index, cand)
     local = (cold.groupby("cell")
-             .cogroup(index.df.groupby("cell"))
+             .cogroup(cold_blobs.groupby("cell"))
              .applyInPandas(cell_knn, out_schema)
              .unionByName(
                  hot.groupby("cell", "salt")
-                 .cogroup(_hot_blobs(index).groupby("cell", "salt"))
+                 .cogroup(hblobs.groupby("cell", "salt"))
                  .applyInPandas(cell_knn, out_schema)))
 
     # ---- phase 4: global exact top-k
@@ -305,13 +381,33 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
                     F.col("dist_sq").cast("long").alias("dist_sq")))
 
 
+def knn_shipped_blobs(index: SpatialIndex, queries: DataFrame, k: int
+                      ) -> dict:
+    """Bench/scale audit: how many blob rows (and bytes) a kNN job
+    ships through the Arrow cogroup vs the whole index — evidence that
+    phase 3's semi-join prunes blob shipping to the candidate set."""
+    cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
+    _, _, cold_blobs, hblobs = _pruned_blob_sides(index, cand)
+    shipped = cold_blobs.unionByName(hblobs)
+    srow = shipped.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.length("blob")).alias("bytes")).collect()[0]
+    trow = index.df.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.length("blob")).alias("bytes")).collect()[0]
+    return {"shipped_rows": int(srow["rows"] or 0),
+            "shipped_bytes": int(srow["bytes"] or 0),
+            "index_rows": int(trow["rows"] or 0),
+            "index_bytes": int(trow["bytes"] or 0)}
+
+
 def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
                    ) -> DataFrame:
     """Per-query work counters for the exact kNN join: (qid, scanned,
     leaves) — points distance-compared and leaf blocks visited across
-    all candidate cells (phase-3 work only; the phase-1 bound probe
-    scans one fixed-size block per query by construction). This is the
-    bench-side analogue of the reference's visited-node kNN audit
+    all candidate cells (phase-3 work only; the phase-1 seed bound is
+    metadata arithmetic and scans nothing). This is the bench-side
+    analogue of the reference's visited-node kNN audit
     (tests/testFramework.h:505-517, knn.csv last column); it reruns the
     search with counting on, so it is for audits, not the hot path."""
     cc = list(index.coord_cols)
@@ -330,13 +426,13 @@ def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
                              "leaves": st["leaves"]})
 
     cnt_schema = "qid long, scanned long, leaves long"
-    cold, hot = _split_by_salt(cand)
+    cold, hot, cold_blobs, hblobs = _pruned_blob_sides(index, cand)
     per_cell = (cold.groupby("cell")
-                .cogroup(index.df.groupby("cell"))
+                .cogroup(cold_blobs.groupby("cell"))
                 .applyInPandas(cell_count, cnt_schema)
                 .unionByName(
                     hot.groupby("cell", "salt")
-                    .cogroup(_hot_blobs(index).groupby("cell", "salt"))
+                    .cogroup(hblobs.groupby("cell", "salt"))
                     .applyInPandas(cell_count, cnt_schema)))
     return (per_cell.groupBy("qid")
             .agg(F.sum("scanned").alias("scanned"),

@@ -33,18 +33,31 @@ from .skew import hot_blobs, split_by_salt
 def _scan_counts(index: SpatialIndex, bnd: DataFrame, scan, schema: str
                  ) -> DataFrame:
     """Run the boundary-cell scan cogroup with the cold/hot split: cold
-    cells cogroup on `cell` against the whole index (exchange-reusing
-    the cached clustering); hot cells fan out per (cell, salt) blob.
-    `bnd` must carry `maxsalt`; `scan` is additive across a cell's
-    blobs (counts sum / reported rows union), so per-salt partial
-    results compose in the caller's final aggregation."""
+    cells cogroup on `cell`; hot cells fan out per (cell, salt) blob.
+    Each blob side is first pruned by a broadcast semi-join on its
+    side's distinct boundary cells (the update() touched-cells pattern,
+    index.py) so only boundary-cell blobs are serialized through the
+    Arrow hop — contained and disjoint cells never ship, and bytes
+    scale with the query set's boundary, not with index size. The
+    broadcast semi-join preserves the cached blob table's hash-
+    partitioning on `cell`, keeping the cogroup's exchange reuse.
+    `bnd` must carry `maxsalt` (consumed by the split) and must be
+    checkpointed by the caller (its lineage must not reach index.df, or
+    the semi-join would trip the self-join analyzer); `scan` is
+    additive across a cell's blobs (counts sum / reported rows union),
+    so per-salt partial results compose in the caller's final
+    aggregation."""
     cold, hot = split_by_salt(bnd)
+    cold_blobs = index.df.join(
+        F.broadcast(cold.select("cell").distinct()), "cell", "semi")
+    hblobs = hot_blobs(index).join(
+        F.broadcast(hot.select("cell").distinct()), "cell", "semi")
     return (cold.groupby("cell")
-            .cogroup(index.df.groupby("cell"))
+            .cogroup(cold_blobs.groupby("cell"))
             .applyInPandas(scan, schema)
             .unionByName(
                 hot.groupby("cell", "salt")
-                .cogroup(hot_blobs(index).groupby("cell", "salt"))
+                .cogroup(hblobs.groupby("cell", "salt"))
                 .applyInPandas(scan, schema)))
 
 
