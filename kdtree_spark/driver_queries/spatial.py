@@ -27,6 +27,9 @@ GRID_G = 8  # fixed grid for driver queries: 64 cells, sf-independent
 BOXES = fixtures.gen_boxes(30)
 BOXES_SMALL = fixtures.gen_boxes(12)
 BOXES_10K = fixtures.gen_boxes(10000)  # H4 rangeCountFix scale
+# H5 rangeQueryFix scale: 10,000 small-bracket rects, so the REPORT
+# output stays ~n^(1/4) rows per box (reference type-0 rectangles)
+BOXES_10K_REPORT = fixtures.gen_boxes(10000, seed=77, classes=(0,))
 CIRCLES = fixtures.gen_circles(15)
 POLYGONS = fixtures.gen_polygons(8)
 TILES = fixtures.gen_tiles(12)
@@ -112,6 +115,23 @@ def q_range_report(spark, sf_dir) -> DataFrame:
 
 def sql_range_report() -> str:
     vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    return f"""
+SELECT b.box_id, p.pid, p.x, p.y
+FROM {vals}
+JOIN ({_pts_sql()}) p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi"""
+
+
+def q_range_report_10k(spark, sf_dir) -> DataFrame:
+    """H5 rangeQueryFix at reference recNum=10000 (testFramework.h:
+    680-713): materializing range REPORT over 10,000 small rects —
+    exercises the report path's output volume above its per-job
+    latency floor (the count-only 10k gate cannot)."""
+    return range_report(get_index(spark, sf_dir), BOXES_10K_REPORT)
+
+
+def sql_range_report_10k() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_10K_REPORT)
     return f"""
 SELECT b.box_id, p.pid, p.x, p.y
 FROM {vals}
@@ -281,6 +301,61 @@ def q_sliding_window_count(spark, sf_dir) -> DataFrame:
                 if t >= 5 else None)
         idx = idx.update(inserts=ins, deletes=dele)
     return range_count(idx, BOXES)
+
+
+def q_sliding_window_knn(spark, sf_dir) -> DataFrame:
+    """insertOsmByTime with the reference's per-slice kNN probe
+    (testFramework.h:859-861): after every slice's insert+evict, run
+    k=10 kNN on a fixed probe set — proves bound-correctness of the
+    kNN seed/prune chain over a 9-generation delta-versioned index
+    (each step queries blobs layered by broadcast anti-joins +
+    checkpointed deltas, not a fresh build)."""
+    pts = points.load_points(spark, sf_dir, "varden")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_swk_lineitem")
+    probe = spark.sql(
+        f"SELECT pid AS qid, x, y FROM "
+        f"(SELECT {points.points_select_sql('varden')} FROM _swk_lineitem "
+        f"WHERE {points.PROBE_FILTER_SQL})")
+    idx = SpatialIndex.build(
+        spark, pts.filter("slice = 0").select("pid", "x", "y"),
+        grid=Grid(GRID_G))
+    outs = []
+    for t in range(1, 10):
+        ins = pts.filter(f"slice = {t}").select("pid", "x", "y")
+        dele = (pts.filter(f"slice = {t - 5}").select("pid", "x", "y")
+                if t >= 5 else None)
+        idx = idx.update(inserts=ins, deletes=dele)
+        outs.append(
+            knn_join(idx, probe, 10)
+            .select(F.lit(t).cast("long").alias("step"), "qid",
+                    F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_sliding_window_knn() -> str:
+    legs = []
+    for t in range(1, 10):
+        lo = max(0, t - 4)
+        legs.append(f"""
+SELECT CAST({t} AS BIGINT) AS step, qid, CAST(rank AS BIGINT) AS rank,
+       nid, dist_sq
+FROM (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM (SELECT q.qid, p.pid AS nid,
+                   (p.x - q.x) * (p.x - q.x)
+                 + (p.y - q.y) * (p.y - q.y) AS dist_sq
+            FROM (SELECT pid AS qid, x, y FROM ({_pts_sql('varden')})
+                  WHERE (pid % 1009 = 7)) q
+            CROSS JOIN (SELECT pid, x, y FROM ({_pts_sql('varden')})
+                        WHERE slice BETWEEN {lo} AND {t}) p))
+WHERE rank <= 10""")
+    return "\nUNION ALL\n".join(legs)
 
 
 def sql_sliding_window_count() -> str:
@@ -765,6 +840,7 @@ QUERIES = {
     "range_count": q_range_count,
     "range_count_10k": q_range_count_10k,
     "range_report": q_range_report,
+    "range_report_10k": q_range_report_10k,
     "circle_count": q_circle_count,
     "knn_k1": q_knn_k1,
     "knn_k10": q_knn_k10,
@@ -783,6 +859,7 @@ QUERIES = {
     "knn_k10_d16": q_knn_k10_d16,
     "snapshot_roundtrip": q_snapshot_roundtrip,
     "sliding_window_count": q_sliding_window_count,
+    "sliding_window_knn": q_sliding_window_knn,
     "knn_graph": q_knn_graph,
     "incremental_build": q_incremental_build,
     "incremental_delete": q_incremental_delete,
@@ -796,6 +873,7 @@ ORACLES = {
     "range_count": sql_range_count(),
     "range_count_10k": sql_range_count_10k(),
     "range_report": sql_range_report(),
+    "range_report_10k": sql_range_report_10k(),
     "circle_count": sql_circle_count(),
     "knn_k1": _sql_knn(1),
     "knn_k10": _sql_knn(10),
@@ -814,6 +892,7 @@ ORACLES = {
     "knn_k10_d16": sql_knn_k10_d16(),
     "snapshot_roundtrip": sql_snapshot_roundtrip(),
     "sliding_window_count": sql_sliding_window_count(),
+    "sliding_window_knn": sql_sliding_window_knn(),
     "knn_graph": sql_knn_graph(),
     "incremental_build": sql_incremental_build(),
     "incremental_delete": sql_incremental_delete(),

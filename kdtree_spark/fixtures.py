@@ -23,12 +23,17 @@ from .grid import COORD_LIMIT
 _BRACKETS = [(2_000, 12_000), (20_000, 90_000), (150_000, 450_000)]
 
 
-def gen_boxes(n: int = 30, seed: int = 10) -> list[tuple[int, int, int, int, int]]:
-    """n boxes cycling small/medium/large: (box_id, xlo, ylo, xhi, yhi)."""
+def gen_boxes(n: int = 30, seed: int = 10,
+              classes: tuple = (0, 1, 2)) -> list[tuple[int, int, int, int, int]]:
+    """n boxes cycling the given size classes (default small/medium/
+    large): (box_id, xlo, ylo, xhi, yhi). Pass classes=(0,) for an
+    all-small batch — the 10k-rect REPORT workload uses it so the
+    materialized output stays O(n^(1/4)) per box like the reference's
+    type-0 rectangles (tests/testFramework.h:55-150)."""
     rng = np.random.default_rng(seed)
     out = []
     for i in range(n):
-        wlo, whi = _BRACKETS[i % 3]
+        wlo, whi = _BRACKETS[classes[i % len(classes)]]
         w = int(rng.integers(wlo, whi))
         h = int(rng.integers(wlo, whi))
         x0 = int(rng.integers(0, COORD_LIMIT - w))

@@ -52,16 +52,23 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 def token_topk(docs: DataFrame, k: int = 20) -> DataFrame:
-    """Global top-k tokens by frequency (wordcount + rank window).
+    """Global top-k tokens by frequency (wordcount + rank).
 
-    Partial (map-side) aggregation makes the groupBy scale; the final
-    window runs over at most |vocab| rows.
+    Partial (map-side) aggregation makes the groupBy scale; the top-k
+    itself is orderBy().limit(k) — Catalyst plans TakeOrderedAndProject
+    (per-partition top-k then a k-row merge on the driver), so no
+    single task ever holds the vocabulary (a global rank window would
+    move every distinct token to one partition). The rank column is
+    derived by a second window over just the k surviving rows.
     """
     freq = tokens(docs).groupBy("token").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (freq.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("token", "cnt", F.col("rank").cast("long").alias("rank")))
+    topk = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    pdf = (topk.toPandas()
+           .sort_values(["cnt", "token"], ascending=[False, True])
+           .reset_index(drop=True))
+    pdf["rank"] = pdf.index.to_numpy() + 1
+    return docs.sparkSession.createDataFrame(
+        pdf, "token string, cnt long, rank long")
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
