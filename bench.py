@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE_SPATIAL = [
     "knn_k1", "knn_k10", "knn_k100", "knn_varden", "knn_k10_d3",
     "knn_k10_d5",
-    "range_count", "range_count_10k", "range_report", "circle_count",
+    "range_count", "range_count_10k", "range_report", "range_report_10k",
+    "circle_count",
     "insert_then_count", "delete_then_count", "update_then_knn",
     "update_then_knn_d3", "insert_ratio_sweep", "incr_build_and_query",
     "point_in_polygon", "tile_cells",
@@ -116,6 +117,21 @@ def main() -> None:
                         _F.avg("leaves").alias("l")).collect()[0])
             extras["knn_k10_d2_scanned_pts_per_query"] = round(row["s"], 1)
             extras["knn_k10_d2_leaves_per_query"] = round(row["l"], 2)
+            # blob-shipping audit (the 100x scale question): build a
+            # 4096-cell index and run a small query batch — the blob
+            # rows/bytes crossing the Arrow cogroup must scale with the
+            # batch's candidate cells, not with the 4096 cells
+            from kdtree_spark.queries.knn import knn_shipped_blobs
+            idx64 = SpatialIndex.build(spark, pts, grid=Grid(64),
+                                       n_hint=n_rows)
+            q256 = q2.limit(256)
+            aud = knn_shipped_blobs(idx64, q256, 10)
+            idx64.unpersist()
+            for kk, vv in aud.items():
+                extras[f"grid64_256q_{kk}"] = vv
+            aud2 = knn_shipped_blobs(idx, q256, 10)
+            for kk, vv in aud2.items():
+                extras[f"grid8_256q_{kk}"] = vv
             # skewed-density audit: varden clusters concentrate queries
             # in few cells, the known phase-3 task-skew spot to watch
             vkey = (id(spark), sf_dir, "varden")

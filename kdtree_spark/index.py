@@ -59,6 +59,19 @@ HOT_CELL_CAP = 131_072  # rows per index blob before salting splits it
 COMPACT_EVERY = int(os.environ.get("KDS_COMPACT_EVERY", "8"))
 # delta-update generations before a full compaction checkpoint
 
+PROBE_CAP = int(os.environ.get("KDS_PROBE_CAP", "1024"))
+# live-sample points per blob for kNN bound-seeding (localtree.
+# probe_sample). The seed bound tightens as (blob/cap)^(1/d) in radius,
+# so high-d indexes get a larger sample: looseness costs candidate
+# cells quadratically in the two gridded dims while sample bytes grow
+# only linearly (and only the queried home cells' samples ever ship).
+# Measured at sf0.1/d=5 (alternated A/B, best-of-3): cap 1024 -> 15.6s,
+# cap 4096 -> 11.2s for the kNN k=10 leg.
+
+
+def _probe_cap(d: int) -> int:
+    return PROBE_CAP * min(2 ** (d - 2), 4) if d > 2 else PROBE_CAP
+
 
 def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
     d = tree.pts.shape[1]
@@ -81,7 +94,7 @@ def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
                 xmin=int(lo[0]), ymin=int(lo[1]),
                 xmax=int(hi[0]), ymax=int(hi[1]),
                 bbox=[int(v) for v in np.concatenate([lo, hi])],
-                probe=tree.probe_sample(),
+                probe=tree.probe_sample(cap=_probe_cap(d)),
                 blob=tree.to_bytes())
 
 
