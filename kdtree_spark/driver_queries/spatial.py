@@ -724,6 +724,58 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
 FROM r WHERE rank <= 10"""
 
 
+# -------------------------------------------------------- float coords (f64)
+
+def get_index_f64(spark, sf_dir) -> SpatialIndex:
+    key = (id(spark), sf_dir, "f64")
+    if key not in _INDEX_CACHE:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li.createOrReplaceTempView("_f64_lineitem")
+        pts = spark.sql(
+            f"SELECT {points.f64_select_sql()} FROM _f64_lineitem")
+        _INDEX_CACHE[key] = SpatialIndex.build(spark, pts, grid=Grid(GRID_G))
+    return _INDEX_CACHE[key]
+
+
+def q_knn_k10_f64(spark, sf_dir) -> DataFrame:
+    """Float-coordinate mode: double coords end to end (the reference's
+    double test build, comparator.h:10-79; tests/testFramework.h:19-20)
+    — blobs, stats, probes and distances all run in IEEE float64, and
+    dist_sq stays DOUBLE. Tie-break rule divergence vs the reference:
+    the reference's Num_Comparator treats |a-b| < eps as equal and
+    breaks remaining ties by point order; here (and in the DuckDB
+    oracle) floats compare exactly and ties break on (dist_sq, nid) —
+    points whose distances differ by < eps can therefore rank in the
+    opposite order from the reference, though identically to any
+    engine doing exact IEEE comparison."""
+    idx = get_index_f64(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_f64q_lineitem")
+    q = spark.sql(
+        f"SELECT {points.f64_select_sql('qid')} FROM _f64q_lineitem "
+        f"WHERE {points.QUERY_FILTER_SQL}")
+    return (knn_join(idx, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_knn_k10_f64() -> str:
+    return f"""
+WITH pts AS (SELECT {points.f64_select_sql()} FROM lineitem),
+q AS (SELECT pid AS qid, x AS qx, y AS qy FROM pts
+      WHERE (qid % 101 = 7)),
+d AS (SELECT q.qid, pts.pid AS nid,
+             (pts.x - q.qx) * (pts.x - q.qx)
+           + (pts.y - q.qy) * (pts.y - q.qy) AS dist_sq
+      FROM q CROSS JOIN pts),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
+
+
 # ------------------------------------------------------- polygon / raster
 
 def q_point_in_polygon(spark, sf_dir) -> DataFrame:
@@ -857,6 +909,7 @@ QUERIES = {
     "incr_build_and_query": q_incr_build_and_query,
     "knn_k10_d5": q_knn_k10_d5,
     "knn_k10_d16": q_knn_k10_d16,
+    "knn_k10_f64": q_knn_k10_f64,
     "snapshot_roundtrip": q_snapshot_roundtrip,
     "sliding_window_count": q_sliding_window_count,
     "sliding_window_knn": q_sliding_window_knn,
@@ -890,6 +943,7 @@ ORACLES = {
     "incr_build_and_query": sql_incr_build_and_query(),
     "knn_k10_d5": sql_knn_k10_d5(),
     "knn_k10_d16": sql_knn_k10_d16(),
+    "knn_k10_f64": sql_knn_k10_f64(),
     "snapshot_roundtrip": sql_snapshot_roundtrip(),
     "sliding_window_count": sql_sliding_window_count(),
     "sliding_window_knn": sql_sliding_window_knn(),

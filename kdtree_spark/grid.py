@@ -57,8 +57,24 @@ class Grid:
     def duckdb_cell_sql(self, x: str = "x", y: str = "y") -> str:
         return f"(({x} // {self.cw}) * {self.g} + ({y} // {self.cw}))"
 
+    # float-coordinate variants: FLOOR(x / cw) over an IEEE double
+    # divide — Spark, DuckDB and numpy floor the SAME correctly-rounded
+    # quotient, so the three agree bit-for-bit on every input (what
+    # matters is cross-engine consistency, not the exact boundary)
+    def spark_cell_sql_f64(self, x: str = "x", y: str = "y") -> str:
+        return (f"(CAST(FLOOR({x} / CAST({self.cw} AS DOUBLE)) AS BIGINT)"
+                f" * {self.g}"
+                f" + CAST(FLOOR({y} / CAST({self.cw} AS DOUBLE)) AS BIGINT))")
+
+    def duckdb_cell_sql_f64(self, x: str = "x", y: str = "y") -> str:
+        return (f"(CAST(FLOOR({x} / {self.cw}.0) AS BIGINT) * {self.g}"
+                f" + CAST(FLOOR({y} / {self.cw}.0) AS BIGINT))")
+
     # -- numpy
     def cell_of(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if np.issubdtype(np.asarray(x).dtype, np.floating):
+            return (np.floor(x / float(self.cw)).astype(np.int64) * self.g
+                    + np.floor(y / float(self.cw)).astype(np.int64))
         return (x // self.cw) * self.g + (y // self.cw)
 
     def cell_bounds(self, cell: np.ndarray):

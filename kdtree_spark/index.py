@@ -46,6 +46,14 @@ INDEX_SCHEMA = ("cell long, salt int, cnt long, nextra long, ntomb long, "
                 "depth int, xmin long, ymin long, xmax long, ymax long, "
                 "bbox array<bigint>, probe array<bigint>, blob binary")
 
+# float-coordinate mode (the reference's double-coordinate test build,
+# comparator.h:10-79): same layout, double-typed coordinate metadata
+INDEX_SCHEMA_F64 = INDEX_SCHEMA.replace(
+    "xmin long, ymin long, xmax long, ymax long",
+    "xmin double, ymin double, xmax double, ymax double").replace(
+    "array<bigint>", "array<double>", 1).replace(
+    "probe array<bigint>", "probe array<double>")
+
 SUPER_MAX_G = 64  # coarse-level grid is at most SUPER_MAX_G per dim, so
 # the super-cell stats table never exceeds 64x64 = 4096 rows — small
 # enough to broadcast for the sparse-query kNN fallback at ANY scale
@@ -60,28 +68,35 @@ COMPACT_EVERY = int(os.environ.get("KDS_COMPACT_EVERY", "8"))
 # delta-update generations before a full compaction checkpoint
 
 PROBE_CAP = int(os.environ.get("KDS_PROBE_CAP", "1024"))
+PROBE_FRACTION = 32  # sample at least 1/32 of the blob's live points
 # live-sample points per blob for kNN bound-seeding (localtree.
-# probe_sample). The seed bound tightens as (blob/cap)^(1/d) in radius,
-# so high-d indexes get a larger sample: looseness costs candidate
-# cells quadratically in the two gridded dims while sample bytes grow
-# only linearly (and only the queried home cells' samples ever ship).
-# Measured at sf0.1/d=5 (alternated A/B, best-of-3): cap 1024 -> 15.6s,
-# cap 4096 -> 11.2s for the kNN k=10 leg.
+# probe_sample). The seed bound tightens as (blob/cap)^(1/d) in radius;
+# sampling a bounded FRACTION (>= a d-scaled floor) caps the looseness
+# factor at PROBE_FRACTION^(2/d) in distance² for every blob size —
+# oversized blobs (salted hot cells, coarse test grids) would otherwise
+# dilute a fixed-size sample into a useless bound. Sample bytes stay
+# <= ~3% of blob bytes, and only queried home cells' samples ever ship.
+# High-d floors: looseness costs candidate cells quadratically in the
+# two gridded dims while sample bytes grow only linearly; measured at
+# sf0.1/d=5 (alternated A/B, best-of-3): floor 1024 -> 15.6s, 4096 ->
+# 11.2s for the kNN k=10 leg.
 
 
-def _probe_cap(d: int) -> int:
-    return PROBE_CAP * min(2 ** (d - 2), 4) if d > 2 else PROBE_CAP
+def _probe_cap(d: int, n_live: int) -> int:
+    floor = PROBE_CAP * min(2 ** (d - 2), 4) if d > 2 else PROBE_CAP
+    return max(floor, n_live // PROBE_FRACTION)
 
 
 def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
     d = tree.pts.shape[1]
+    cdt = tree.cdtype
     if tree.n_base:
         root = tree.nbox[0]
-        lo = root[:d].astype(np.int64).copy()
-        hi = root[d:].astype(np.int64).copy()
+        lo = root[:d].astype(cdt).copy()
+        hi = root[d:].astype(cdt).copy()
     else:
-        lo = np.zeros(d, np.int64)
-        hi = np.full(d, -1, np.int64)
+        lo = np.zeros(d, cdt)
+        hi = np.full(d, -1, cdt)
     # widen bbox to cover the extra log (stats must stay a valid superset)
     if len(tree.extra_ids):
         lo = np.minimum(lo, tree.extra_pts.min(axis=0))
@@ -91,10 +106,10 @@ def _tree_row(cell: int, salt: int, tree: LocalKDTree) -> dict:
     return dict(cell=cell, salt=salt, cnt=tree.n_live,
                 nextra=len(tree.extra_ids), ntomb=len(tree.tomb_ids),
                 depth=tree.depth,
-                xmin=int(lo[0]), ymin=int(lo[1]),
-                xmax=int(hi[0]), ymax=int(hi[1]),
-                bbox=[int(v) for v in np.concatenate([lo, hi])],
-                probe=tree.probe_sample(cap=_probe_cap(d)),
+                xmin=lo[0].item(), ymin=lo[1].item(),
+                xmax=hi[0].item(), ymax=hi[1].item(),
+                bbox=np.concatenate([lo, hi]).tolist(),
+                probe=tree.probe_sample(cap=_probe_cap(d, tree.n_live)),
                 blob=tree.to_bytes())
 
 
@@ -103,7 +118,9 @@ def _build_group(pdf: pd.DataFrame) -> pd.DataFrame:
     salt = int(pdf["salt"].iloc[0])
     coord_cols = [c for c in pdf.columns
                   if c not in ("pid", "cell", "salt")]
-    pts = pdf[coord_cols].to_numpy(np.int64)
+    pts = pdf[coord_cols].to_numpy()
+    pts = pts.astype(np.float64 if pts.dtype.kind == "f" else np.int64,
+                     copy=False)
     ids = pdf["pid"].to_numpy(np.int64)
     tree = LocalKDTree.build(pts, ids)
     return pd.DataFrame([_tree_row(cell, salt, tree)])
@@ -118,6 +135,11 @@ class SpatialIndex:
         self.df = df
         self.manifest = manifest or {}
         self.coord_cols = tuple(coord_cols)
+        # float-coordinate mode is carried by the blob table's own
+        # schema (double metadata columns), so load()/snapshots keep it
+        from pyspark.sql.types import DoubleType
+        self.float_coords = isinstance(df.schema["xmin"].dataType,
+                                       DoubleType)
         self._stats_pd: pd.DataFrame | None = None
         self._cell_stats: DataFrame | None = None
         self._super_stats: DataFrame | None = None
@@ -137,21 +159,30 @@ class SpatialIndex:
               grid: Grid | None = None, n_hint: int | None = None,
               hot_cell_cap: int = HOT_CELL_CAP,
               coord_cols: tuple = ("x", "y")) -> "SpatialIndex":
-        """points: DataFrame(pid long, <coord_cols> long). Bulk load
-        (B1-B7). d = len(coord_cols) >= 2; the grid cell (top level)
-        always keys on the first two dims — for d>2 the per-cell trees
-        split on all d (max-stretch), and xy-only cell pruning remains
-        a valid lower bound."""
+        """points: DataFrame(pid long, <coord_cols> long|double). Bulk
+        load (B1-B7). d = len(coord_cols) >= 2; the grid cell (top
+        level) always keys on the first two dims — for d>2 the per-cell
+        trees split on all d (max-stretch), and xy-only cell pruning
+        remains a valid lower bound. Double coordinates switch the
+        whole index (blobs, stats, probes) to float mode — the
+        reference's double test build (comparator.h:10-79); exact-
+        integer mode is the default and matches its `long` coords."""
         t0 = time.time()
         n = n_hint if n_hint is not None else points.count()
         grid = grid or Grid.for_count(n)
-        # int32 coords/cell through the shuffle + Arrow hop (coords are
-        # < 1e6 and cell < g^2 < 2^31): 1/3 fewer bytes on the hot path
-        cexprs = [f"CAST({c} AS int) AS {c}" for c in coord_cols]
+        from pyspark.sql.types import DoubleType, FloatType
+        fmode = isinstance(points.schema[coord_cols[0]].dataType,
+                           (DoubleType, FloatType))
+        if fmode:
+            cexprs = [f"CAST({c} AS double) AS {c}" for c in coord_cols]
+            cell_sql = grid.spark_cell_sql_f64(coord_cols[0], coord_cols[1])
+        else:
+            # int32 coords/cell through the shuffle + Arrow hop (coords
+            # are < 1e6, cell < g^2 < 2^31): 1/3 fewer bytes on the hot path
+            cexprs = [f"CAST({c} AS int) AS {c}" for c in coord_cols]
+            cell_sql = grid.spark_cell_sql(coord_cols[0], coord_cols[1])
         pts = points.selectExpr(
-            "pid", *cexprs,
-            f"CAST({grid.spark_cell_sql(coord_cols[0], coord_cols[1])} "
-            f"AS int) AS cell")
+            "pid", *cexprs, f"CAST({cell_sql} AS int) AS cell")
 
         # salting plan from per-cell counts (the sampled-pivot round's
         # analogue: one cheap agg instead of a sample)
@@ -168,7 +199,7 @@ class SpatialIndex:
                .drop("nsplit"))
 
         built = pts.groupBy("cell", "salt").applyInPandas(
-            _build_group, INDEX_SCHEMA)
+            _build_group, INDEX_SCHEMA_F64 if fmode else INDEX_SCHEMA)
         # cache pre-clustered by cell: every query cogroups on "cell", and
         # a cached HashPartitioning(cell) lets the planner skip re-shuffling
         # the blob side on each query (exchange reuse across jobs)
@@ -181,6 +212,11 @@ class SpatialIndex:
         idx = cls(spark, grid, df, manifest, coord_cols=coord_cols)
         idx._cached_frames = [df]
         return idx
+
+    def cell_sql(self, x: str, y: str) -> str:
+        """Grid-cell SQL matching this index's coordinate mode."""
+        return (self.grid.spark_cell_sql_f64(x, y) if self.float_coords
+                else self.grid.spark_cell_sql(x, y))
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> pd.DataFrame:
@@ -305,7 +341,9 @@ class SpatialIndex:
         t0 = time.time()
         grid = self.grid
         cc = list(self.coord_cols)
-        cell_sql = grid.spark_cell_sql(cc[0], cc[1])
+        cdt = np.float64 if self.float_coords else np.int64
+        schema = INDEX_SCHEMA_F64 if self.float_coords else INDEX_SCHEMA
+        cell_sql = self.cell_sql(cc[0], cc[1])
         parts = []
         if inserts is not None:
             parts.append(inserts.selectExpr(
@@ -331,14 +369,14 @@ class SpatialIndex:
                 # brand-new cell: build from inserts alone
                 if len(ins):
                     tree = LocalKDTree.build(
-                        ins[cc].to_numpy(np.int64),
+                        ins[cc].to_numpy(cdt),
                         ins["pid"].to_numpy(np.int64))
                     out.append(_tree_row(cell, 0, tree))
                 return pd.DataFrame(out) if out else idxdf.iloc[0:0]
             nsalt = len(idxdf)
-            ins_pts = ins[cc].to_numpy(np.int64)
+            ins_pts = ins[cc].to_numpy(cdt)
             ins_ids = ins["pid"].to_numpy(np.int64)
-            del_pts = del_[cc].to_numpy(np.int64)
+            del_pts = del_[cc].to_numpy(cdt)
             del_ids = del_["pid"].to_numpy(np.int64)
             ins_salt = (ins_ids % nsalt) if nsalt > 1 else np.zeros(
                 len(ins_ids), np.int64)
@@ -370,7 +408,7 @@ class SpatialIndex:
         touched_blobs = self.df.join(F.broadcast(touched), "cell", "semi")
         new_blobs = (ups.groupby("cell")
                      .cogroup(touched_blobs.groupby("cell"))
-                     .applyInPandas(apply_updates, INDEX_SCHEMA))
+                     .applyInPandas(apply_updates, schema))
         # DELTA versioning: checkpoint ONLY the rebuilt touched-cell
         # blobs — O(batch) materialization, never O(index). The new
         # version's df is the inherited fragments each filtered by a

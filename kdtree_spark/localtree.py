@@ -40,7 +40,7 @@ consult all three; a rebuild folds them in when the imbalance threshold
 
 from __future__ import annotations
 
-
+import os
 
 import numpy as np
 
@@ -52,6 +52,9 @@ LEAF_WRAP = 128
 # at 128 the kNN/range kernels run 2-3x faster than at 32 with identical
 # (exact) results.
 INBALANCE_RATIO = 30  # percent, reference tree_node.hpp:127-131
+TIGHTEN_MIN = int(os.environ.get("KDS_TIGHTEN_MIN", "32768"))
+# blobs at least this large tighten a caller-supplied kNN bound with
+# their own block-scan bound before searching (see knn())
 # NOTE: a whole-blob brute-scan "crossover" for small query batches was
 # tried and measured 18x SLOWER than the bound-seeded traversal at
 # m=94/n=9400 (scan()'s full-row lexsort merge dominates); the knn_bound
@@ -95,10 +98,17 @@ class LocalKDTree:
         self.end = end
         self.nbox = nbox
         d = pts.shape[1]
-        self.extra_pts = extra_pts if extra_pts is not None else np.empty((0, d), np.int64)
+        cdt = self.cdtype
+        self.extra_pts = extra_pts if extra_pts is not None else np.empty((0, d), cdt)
         self.extra_ids = extra_ids if extra_ids is not None else np.empty(0, np.int64)
-        self.tomb_pts = tomb_pts if tomb_pts is not None else np.empty((0, d), np.int64)
+        self.tomb_pts = tomb_pts if tomb_pts is not None else np.empty((0, d), cdt)
         self.tomb_ids = tomb_ids if tomb_ids is not None else np.empty(0, np.int64)
+
+    @property
+    def cdtype(self):
+        """Full-width coordinate dtype (pts may be stored int32)."""
+        return (np.float64 if np.issubdtype(self.pts.dtype, np.floating)
+                else np.int64)
 
     # ------------------------------------------------------------------ build
 
@@ -108,7 +118,12 @@ class LocalKDTree:
               split_rule: str = "max_stretch") -> "LocalKDTree":
         """split_rule: 'max_stretch' (reference default MAX_STRETCH_DIM,
         kdTreeParallel.h:78) or 'rotate' (ROTATE_DIM: dim = depth % d)."""
-        pts = np.ascontiguousarray(pts, dtype=np.int64)
+        # dtype-generic: int64 (default, exact) or float64 (the
+        # reference's double-coordinate test build, comparator.h:10-79;
+        # all comparisons below are exact IEEE on either)
+        pts = np.ascontiguousarray(pts)
+        pts = pts.astype(np.float64 if np.issubdtype(pts.dtype, np.floating)
+                         else np.int64, copy=False)
         ids = np.ascontiguousarray(ids, dtype=np.int64)
         rotate = split_rule == "rotate"
         if not rotate and split_rule != "max_stretch":
@@ -138,9 +153,10 @@ class LocalKDTree:
         # byte-compatible with pre-rewrite builds, semantics identical).
         work = pts.copy()
         wids = ids.copy()
+        cdtype = work.dtype
         if n == 0:
             root = new_node()
-            nbox[root] = np.zeros(2 * d, np.int64)
+            nbox[root] = np.zeros(2 * d, cdtype)
         else:
             root = new_node()
             fr_nodes = [root]
@@ -183,7 +199,7 @@ class LocalKDTree:
                     work[lo:hi] = seg[order]
                     wids[lo:hi] = wids[lo:hi][order]
                     split_dim[node] = dim
-                    split_val[node] = int(work[lo + m, dim])
+                    split_val[node] = work[lo + m, dim].item()
                     start[node], end[node] = lo, hi
                     l_ = new_node()
                     r_ = new_node()
@@ -199,20 +215,20 @@ class LocalKDTree:
         # data_generate.cpp:19): halves the dominant blob component, so
         # serialization, shuffle, cache and Arrow volume all drop ~33%;
         # kernels upcast to float64/int64 on the fly, results unchanged
-        if pts_store.size == 0 or (
+        if cdtype == np.int64 and (pts_store.size == 0 or (
                 pts_store.min() >= -(2 ** 31)
-                and pts_store.max() < 2 ** 31):
+                and pts_store.max() < 2 ** 31)):
             pts_store = pts_store.astype(np.int32)
         return cls(
             pts=pts_store,
             ids=wids,
             split_dim=np.asarray(split_dim, np.int16),
-            split_val=np.asarray(split_val, np.int64),
+            split_val=np.asarray(split_val, cdtype),
             left=np.asarray(left, np.int32),
             right=np.asarray(right, np.int32),
             start=np.asarray(start, np.int32),
             end=np.asarray(end, np.int32),
-            nbox=np.stack(nbox).astype(np.int64),
+            nbox=np.stack(nbox).astype(cdtype),
         )
 
     # -------------------------------------------------------------- serialize
@@ -306,7 +322,9 @@ class LocalKDTree:
         if n == 0:
             return []
         step = max(1, -(-n // cap))  # ceil(n / cap)
-        return [int(v) for v in pts[::step].ravel()]
+        # tolist() preserves coordinate type: python ints for the int64
+        # engine (schema array<bigint>), floats for float mode (double)
+        return pts[::step].astype(self.cdtype).ravel().tolist()
 
     def needs_rebuild(self) -> bool:
         n = max(self.n_base, 1)
@@ -320,12 +338,13 @@ class LocalKDTree:
                         self.left, self.right, self.start, self.end, self.nbox,
                         self.extra_pts, self.extra_ids, self.tomb_pts,
                         self.tomb_ids)
+        cdt = t.cdtype
         if ins_ids is not None and len(ins_ids):
-            t.extra_pts = np.concatenate([t.extra_pts, np.asarray(ins_pts, np.int64)])
+            t.extra_pts = np.concatenate([t.extra_pts, np.asarray(ins_pts, cdt)])
             t.extra_ids = np.concatenate([t.extra_ids, np.asarray(ins_ids, np.int64)])
         if del_ids is not None and len(del_ids):
             del_ids = np.asarray(del_ids, np.int64)
-            del_pts = np.asarray(del_pts, np.int64)
+            del_pts = np.asarray(del_pts, cdt)
             # partial-cover semantics (batch_delete.hpp:95-107): ignore ids
             # not present; also net out inserts sitting in the extra log
             in_extra = np.isin(del_ids, t.extra_ids)
@@ -361,7 +380,7 @@ class LocalKDTree:
         per-node numpy overhead, while this is one descent (O(depth)
         passes over the batch) plus one einsum per distinct stop block.
         """
-        q = np.asarray(q, dtype=np.int64)
+        q = np.asarray(q)
         m, d = q.shape
         bound = np.full(m, np.inf)
         if m == 0:
@@ -431,7 +450,7 @@ class LocalKDTree:
         analogue of the reference's visited-node kNN audit column
         (tests/testFramework.h:505-517). Zero overhead when None.
         """
-        q = np.asarray(q, dtype=np.int64)
+        q = np.asarray(q)
         m, d = q.shape
         if stats is not None:
             stats.setdefault("scanned", np.zeros(m, np.int64))
@@ -443,13 +462,20 @@ class LocalKDTree:
         # cold searches seed the prune bound with the block-scan kth
         # upper bound (exact-safe: pruning drops only subtrees/points
         # strictly beyond a valid kth upper bound, so distance-ties at
-        # the bound still reach the (dist², id) tie-break); bounded
-        # searches keep the caller's ub. (An unconditional
-        # min(ub, knn_bound) tighten was measured a net LOSS: salted
-        # hot cells replicate queries per blob, and the extra per-blob
-        # bound descent + block scan dominated the varden leg 3x.)
+        # the bound still reach the (dist², id) tie-break). Bounded
+        # searches keep the caller's ub on small blobs, but LARGE blobs
+        # tighten it with their own block-scan bound (min of two valid
+        # kth upper bounds is valid; a distributed caller merging
+        # per-blob results loses nothing): the caller's seed is a
+        # fractional-sample bound whose looseness costs scanned points
+        # in proportion to blob size — measured at a 150k-pt blob, the
+        # extra one-block scan cuts 955 -> ~300 scanned points/query.
+        # Small blobs skip it: salted hot cells replicate queries per
+        # blob and the per-blob bound scan dominated the varden leg 3x.
         bound = (self.knn_bound(q, k) if ub is None
                  else np.asarray(ub, np.float64).copy())
+        if ub is not None and self.n_base >= TIGHTEN_MIN:
+            bound = np.minimum(bound, self.knn_bound(q, k))
 
         qf = q.astype(np.float64)
         # tombstones are filtered AT THE LEAF (sorted-array membership per

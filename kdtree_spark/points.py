@@ -109,6 +109,21 @@ def points_sql(table: str = "lineitem", dist: str = "uniform") -> str:
     return f"SELECT {points_select_sql(dist)} FROM {table}"
 
 
+def f64_select_sql(id_alias: str = "pid") -> str:
+    """(pid, x double, y double): the uniform integer coords plus a
+    deterministic fractional part. Every term is an exact integer fed
+    through ONE double divide and ONE double add (both correctly
+    rounded), so Spark, DuckDB and numpy produce bit-identical doubles
+    — the float-mode gate's cross-engine contract. DuckDB note: the
+    divisor must be CAST(... AS DOUBLE); a 997.0 literal is DECIMAL
+    there and decimal division is not IEEE."""
+    return (f"{PID_SQL} AS {id_alias}, "
+            f"CAST({UNIFORM_X_SQL} AS DOUBLE)"
+            f" + ({PID_SQL} % 997) / CAST(997 AS DOUBLE) AS x, "
+            f"CAST({UNIFORM_Y_SQL} AS DOUBLE)"
+            f" + ({PID_SQL} % 991) / CAST(991 AS DOUBLE) AS y")
+
+
 def load_points(spark: SparkSession, sf_dir: str, dist: str = "uniform"
                 ) -> DataFrame:
     """Derive the point DataFrame from lineitem parquet.

@@ -122,7 +122,19 @@ def _super_cols(cc: list):
     return lo, hi
 
 
-PROBE_POOL_CAP = 4096        # max pooled probe points per cell group
+def _cdt(index: SpatialIndex):
+    return np.float64 if index.float_coords else np.int64
+
+
+def _coord_schema(index: SpatialIndex, cc: list) -> str:
+    t = "double" if index.float_coords else "long"
+    return ", ".join(f"{c} {t}" for c in cc)
+
+
+PROBE_POOL_CAP = 65536       # max pooled probe points per cell group
+# (a backstop for extreme salted cells: per-query bound cost is one
+# descent + one block scan regardless of pool size; only the one-off
+# pool-tree build grows with it)
 
 
 def _seed_bound(index: SpatialIndex, queries: DataFrame, cc: list, k: int
@@ -136,11 +148,11 @@ def _seed_bound(index: SpatialIndex, queries: DataFrame, cc: list, k: int
     Queries the samples cannot bound (home cell empty, or k above the
     pooled sample size) fall back to a prefix-sum window over the
     <= 4096-row broadcast super-cell stats (index.super_stats)."""
-    grid = index.grid
     d = len(cc)
-    coord_schema = ", ".join(f"{c} long" for c in cc)
+    cdt = _cdt(index)
+    coord_schema = _coord_schema(index, cc)
     home = queries.selectExpr(
-        "qid", *cc, f"{grid.spark_cell_sql(cc[0], cc[1])} AS cell")
+        "qid", *cc, f"{index.cell_sql(cc[0], cc[1])} AS cell")
     probes = index.probes().join(
         F.broadcast(home.select("cell").distinct()), "cell", "semi")
 
@@ -157,8 +169,8 @@ def _seed_bound(index: SpatialIndex, queries: DataFrame, cc: list, k: int
         if len(ppdf) == 0:
             return out
         pool = np.concatenate([
-            np.asarray(a, np.int64).reshape(-1, d) for a in ppdf["probe"]
-        ]) if len(ppdf) else np.empty((0, d), np.int64)
+            np.asarray(a, cdt).reshape(-1, d) for a in ppdf["probe"]
+        ]) if len(ppdf) else np.empty((0, d), cdt)
         if len(pool) > PROBE_POOL_CAP:  # salted cells pool many samples
             pool = pool[::-(-len(pool) // PROBE_POOL_CAP)]
         P = len(pool)
@@ -170,7 +182,7 @@ def _seed_bound(index: SpatialIndex, queries: DataFrame, cc: list, k: int
         # with the same bound quality (the enclosing sample block holds
         # the query's nearest sample points)
         ptree = LocalKDTree.build(pool, np.arange(P, dtype=np.int64))
-        ub = ptree.knn_bound(qpdf[cc].to_numpy(np.int64), k)
+        ub = ptree.knn_bound(qpdf[cc].to_numpy(cdt), k)
         out["ub"] = np.where(np.isfinite(ub), ub, -1.0)
         return out
 
@@ -223,24 +235,37 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
     grid = index.grid
     g, cw = grid.g, grid.cw
     xcol, ycol = cc[0], cc[1]
+    cdt = _cdt(index)
+    fmode = index.float_coords
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            qx = pdf[xcol].to_numpy(np.int64)
-            qy = pdf[ycol].to_numpy(np.int64)
+            qx = pdf[xcol].to_numpy(cdt)
+            qy = pdf[ycol].to_numpy(cdt)
             ub = pdf["ub"].to_numpy(np.float64)
             finite = np.isfinite(ub)
-            # +1 guards the (theoretical) downward rounding of sqrt at
-            # the boundary; over-coverage is corrected by the bbox join
-            r = np.zeros(n, np.int64)
-            r[finite] = np.floor(np.sqrt(ub[finite])).astype(np.int64) + 1
-            cx0 = np.clip((qx - r) // cw, 0, g - 1)
-            cx1 = np.clip((qx + r) // cw, 0, g - 1)
-            cy0 = np.clip((qy - r) // cw, 0, g - 1)
-            cy1 = np.clip((qy + r) // cw, 0, g - 1)
+            if fmode:
+                # float cells: floor(x / cw), mirroring the cell
+                # assignment formula (grid.spark_cell_sql_f64)
+                r = np.zeros(n)
+                r[finite] = np.sqrt(ub[finite]) + 1.0
+                cx0 = np.clip(np.floor((qx - r) / cw), 0, g - 1).astype(np.int64)
+                cx1 = np.clip(np.floor((qx + r) / cw), 0, g - 1).astype(np.int64)
+                cy0 = np.clip(np.floor((qy - r) / cw), 0, g - 1).astype(np.int64)
+                cy1 = np.clip(np.floor((qy + r) / cw), 0, g - 1).astype(np.int64)
+            else:
+                # +1 guards the (theoretical) downward rounding of sqrt
+                # at the boundary; over-coverage is corrected by the
+                # bbox join
+                r = np.zeros(n, np.int64)
+                r[finite] = np.floor(np.sqrt(ub[finite])).astype(np.int64) + 1
+                cx0 = np.clip((qx - r) // cw, 0, g - 1)
+                cx1 = np.clip((qx + r) // cw, 0, g - 1)
+                cy0 = np.clip((qy - r) // cw, 0, g - 1)
+                cy1 = np.clip((qy + r) // cw, 0, g - 1)
             nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
             ncand = nx * ny
             small = finite & (ncand <= ENUM_CAP)
@@ -261,7 +286,7 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
             cellcol = np.concatenate([cells, np.full(len(big), -1, np.int64)])
             out = {"qid": pdf["qid"].to_numpy(np.int64)[rows_i]}
             for c in cc:
-                out[c] = pdf[c].to_numpy(np.int64)[rows_i]
+                out[c] = pdf[c].to_numpy(cdt)[rows_i]
             out["ub"] = ub[rows_i]
             out["cell"] = cellcol
             yield pd.DataFrame(out)
@@ -307,9 +332,8 @@ def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
     cells per query — the reference's visited-node counters analogue,
     testFramework.h:505-517)."""
     cc = list(index.coord_cols)
-    coord_schema = ", ".join(f"{c} long" for c in cc)
     with_ub = _seed_bound(index, queries, cc, k)
-    return _candidate_cells(index, with_ub, cc, coord_schema, k)
+    return _candidate_cells(index, with_ub, cc, _coord_schema(index, cc), k)
 
 
 def _pruned_blob_sides(index: SpatialIndex, cand: DataFrame):
@@ -349,10 +373,12 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
     # varden-style clustering can't serialize a cell's queries on one
     # task — the per-blob searches lose cross-blob bound tightening,
     # which phase 4's exact merge absorbs
+    cdt = _cdt(index)
+
     def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["qid", "nid", "dist_sq"])
-        qpts = qpdf[cc].to_numpy(np.int64)
+        qpts = qpdf[cc].to_numpy(cdt)
         ub = qpdf["ub"].to_numpy(np.float64)
         d, i = _group_knn(qpts, ipdf["blob"], k, ub)
         qid = np.repeat(qpdf["qid"].to_numpy(np.int64), k)
@@ -372,13 +398,17 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
                  .cogroup(hblobs.groupby("cell", "salt"))
                  .applyInPandas(cell_knn, out_schema)))
 
-    # ---- phase 4: global exact top-k
+    # ---- phase 4: global exact top-k. Integer mode emits BIGINT
+    # distances (exact, hash-stable vs the oracle); float mode keeps
+    # the IEEE double — bit-identical to DuckDB's same-op-order
+    # arithmetic on the same doubles.
     w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(),
                                           F.col("nid").asc())
+    dist = (F.col("dist_sq") if index.float_coords
+            else F.col("dist_sq").cast("long"))
     return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "rank", "nid",
-                    F.col("dist_sq").cast("long").alias("dist_sq")))
+            .select("qid", "rank", "nid", dist.alias("dist_sq")))
 
 
 def knn_shipped_blobs(index: SpatialIndex, queries: DataFrame, k: int
@@ -413,11 +443,13 @@ def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
     cc = list(index.coord_cols)
     cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
 
+    cdt = _cdt(index)
+
     def cell_count(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
                    ) -> pd.DataFrame:
         if len(qpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["qid", "scanned", "leaves"])
-        qpts = qpdf[cc].to_numpy(np.int64)
+        qpts = qpdf[cc].to_numpy(cdt)
         ub = qpdf["ub"].to_numpy(np.float64)
         st: dict = {}
         _group_knn(qpts, ipdf["blob"], k, ub, stats=st)
