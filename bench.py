@@ -82,6 +82,13 @@ def main() -> None:
     idx = SpatialIndex.build(spark, pts, grid=Grid(8), n_hint=n_rows)
     timings["index_build"] = time.time() - t0
     extras["build_rows_per_sec"] = round(n_rows / timings["index_build"], 1)
+    # getAveTreeHeight analogue (reference tests/testFramework.h): mean
+    # and max per-blob tree depth across the forest, via one Spark agg
+    from pyspark.sql import functions as _F
+    drow = idx.df.agg(_F.avg("depth").alias("a"),
+                      _F.max("depth").alias("m")).collect()[0]
+    extras["ave_tree_height"] = round(float(drow["a"] or 0), 2)
+    extras["max_tree_height"] = int(drow["m"] or 0)
 
     # seed the driver-query cache so per-query timings measure queries only
     from kdtree_spark.driver_queries import spatial as dq

@@ -54,6 +54,8 @@ INDEX_SCHEMA_F64 = INDEX_SCHEMA.replace(
     "array<bigint>", "array<double>", 1).replace(
     "probe array<bigint>", "probe array<double>")
 
+PYRAMID_FACTOR = 4  # per-dim coarsening per stats-pyramid level
+
 SUPER_MAX_G = 64  # coarse-level grid is at most SUPER_MAX_G per dim, so
 # the super-cell stats table never exceeds 64x64 = 4096 rows — small
 # enough to broadcast for the sparse-query kNN fallback at ANY scale
@@ -143,6 +145,7 @@ class SpatialIndex:
         self._stats_pd: pd.DataFrame | None = None
         self._cell_stats: DataFrame | None = None
         self._super_stats: DataFrame | None = None
+        self._pyramid: list | None = None
         # delta versioning (update()): df == union of fragments; each
         # update checkpoints ONLY its touched-cell delta and layers a
         # broadcast anti-join over inherited fragments. _ckpt_handles
@@ -269,6 +272,51 @@ class SpatialIndex:
         return (self.df.limit(0)
                 .select("cell", F.array().cast("array<bigint>")
                         .alias("probe")))
+
+    def stats_pyramid(self) -> list:
+        """Coarse stats levels above the fine grid for hierarchical
+        range pruning: [(g_l, cw_l, stats_df)] from one level above
+        fine upward, factor PYRAMID_FACTOR per dim per level, until a
+        level is <= SUPER_MAX_G per dim (empty for small grids — the
+        driver-gate Grid(8) runs level-free, exactly the old plan).
+
+        Each level aggregates (ccnt, data bbox) from the level below
+        and adds maxsalt=0 (coarse rows never reach a blob cogroup).
+        Level ids nest by integer division, and a level cell's
+        geometric width is exactly cw * F^l (x DIV (F*cw) ==
+        (x DIV cw) DIV F), so geometric enumeration and id arithmetic
+        agree at every level. This is the distributed analogue of the
+        reference answering a large box from HIGH tree nodes
+        (range_count.hpp:78-80) instead of visiting every leaf: a box
+        costs O(perimeter) cells per level, never O(area) fine cells.
+        """
+        if getattr(self, "_pyramid", None) is None:
+            F_ = PYRAMID_FACTOR
+            levels = []
+            cur = self.cell_stats()
+            curg, curw = self.grid.g, self.grid.cw
+            while curg > SUPER_MAX_G:
+                ng = (curg + F_ - 1) // F_
+                parent = F.expr(
+                    f"(cell DIV {curg} DIV {F_}) * {ng}"
+                    f" + (cell % {curg}) DIV {F_}")
+                aggs = [F.sum("ccnt").alias("ccnt"),
+                        F.min("xmin").alias("xmin"),
+                        F.min("ymin").alias("ymin"),
+                        F.max("xmax").alias("xmax"),
+                        F.max("ymax").alias("ymax")]
+                for j in range(2, len(self.coord_cols)):
+                    aggs.append(F.min(f"mn{j}").alias(f"mn{j}"))
+                    aggs.append(F.max(f"mx{j}").alias(f"mx{j}"))
+                agg = (cur.groupBy(parent.alias("cell")).agg(*aggs)
+                       .withColumn("maxsalt", F.lit(0)))
+                nxt = agg.select(
+                    *[F.col(c).alias(c) for c in agg.columns]).cache()
+                curg, curw = ng, curw * F_
+                levels.append((curg, curw, nxt))
+                cur = nxt
+            self._pyramid = levels
+        return self._pyramid
 
     def super_grid(self) -> tuple:
         """(S, sg): fine cells coarsen by S per dim into an sg x sg
@@ -492,7 +540,8 @@ class SpatialIndex:
         its parent's fragments, so freeing those would sever the child's
         truncated lineage. After a compaction the child inherits
         nothing, and the superseded version's whole storage is freed."""
-        for st in (self._cell_stats, self._super_stats):
+        pyramid = [s for _, _, s in (getattr(self, "_pyramid", None) or [])]
+        for st in (self._cell_stats, self._super_stats, *pyramid):
             try:
                 if st is not None:
                     st.unpersist()

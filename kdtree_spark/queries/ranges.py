@@ -80,55 +80,105 @@ def _cell_stats_df(index: SpatialIndex) -> DataFrame:
 
 
 def _prune_join(index: SpatialIndex, qdf: DataFrame, n_queries: int,
-                cond, ext=("bxlo", "bylo", "bxhi", "byhi")) -> DataFrame:
-    """query-shapes ⋈ cell-stats, pruned. Each shape geometrically
-    enumerates the grid cells its extent `ext` spans (pure integer SQL
-    on the regular grid — the same trick as kNN phase 2), then an
-    EQUI-join on `cell` against the stats table applies the exact
-    data-bbox condition `cond`. No nested-loop join anywhere: a
-    cells x shapes BNLJ streams the post-agg stats table, which AQE
-    coalesces to ONE partition — the whole prune on one task — and is
-    O(cells * shapes) work besides; this is O(overlap pairs), scales
-    with both 1e6-box batches and 1e8-cell grids, and broadcasts
-    whichever equi-join side is smaller (Catalyst/AQE decide).
+                cond, ext=("bxlo", "bylo", "bxhi", "byhi"),
+                contained=None) -> DataFrame:
+    """query-shapes ⋈ cell-stats, pruned hierarchically.
+
+    Small grids (g <= 64): each shape geometrically enumerates the fine
+    cells its extent `ext` spans (pure integer SQL on the regular grid
+    — the same trick as kNN phase 2), then an EQUI-join on `cell`
+    against the stats table applies the exact data-bbox condition
+    `cond`. No nested-loop join anywhere: this is O(overlap pairs) and
+    broadcasts whichever equi-join side is smaller (Catalyst/AQE).
+
+    Large grids: the stats PYRAMID (index.stats_pyramid) makes the
+    enumeration O(perimeter), not O(area): shapes enumerate the
+    COARSEST level (<= 64 per dim, so <= 4096 cells even for a
+    domain-sized shape), and each level classifies its cells with the
+    same data-bbox exprs — disjoint cells drop (`cond`), cells passing
+    `contained` are emitted AS pairs immediately (their aggregated
+    ccnt answers count queries metadata-only; maxsalt=0 and the
+    caller's own contained test re-evaluates true on the coarse bbox,
+    so they never reach a blob cogroup), and only BOUNDARY cells
+    explode into their PYRAMID_FACTOR² children for the next level.
+    `contained=None` (range report needs actual points) descends every
+    overlapping cell instead. This is the reference's answer-from-high-
+    nodes recursion (range_count.hpp:9-96) over the distributed grid.
 
     Assumes the index's domain contract: coords in [0, COORD_LIMIT)
     (grid.py docstring), so every populated cell id lies in [0, g²-1]
     and clipped enumeration misses nothing."""
+    from ..index import PYRAMID_FACTOR
     grid = index.grid
-    g, cw = grid.g, grid.cw
     xlo, ylo, xhi, yhi = ext
     par = index.spark.sparkContext.defaultParallelism
     if n_queries > 4 * par:
         qdf = qdf.repartition(par)
 
-    def clip(c):  # monotone clip => lo<=hi survives, sequence ascends
-        return f"LEAST(GREATEST({c} DIV {cw}, 0), {g - 1})"
+    def enum_top(df, g, cw):
+        def clip(c):  # monotone clip => lo<=hi survives, seq ascends
+            return f"LEAST(GREATEST({c} DIV {cw}, 0), {g - 1})"
+        return (df
+                .selectExpr("*",
+                            f"explode(sequence({clip(xlo)}, {clip(xhi)})) AS _cx")
+                .selectExpr("*",
+                            f"explode(sequence({clip(ylo)}, {clip(yhi)})) AS _cy")
+                .selectExpr("*", f"_cx * {g} + _cy AS cell")
+                .drop("_cx", "_cy"))
 
-    pairs = (qdf
-             .selectExpr("*",
-                         f"explode(sequence({clip(xlo)}, {clip(xhi)})) AS _cx")
-             .selectExpr("*",
-                         f"explode(sequence({clip(ylo)}, {clip(yhi)})) AS _cy")
-             .selectExpr("*", f"_cx * {g} + _cy AS cell")
-             .drop("_cx", "_cy"))
-    return pairs.join(_cell_stats_df(index), "cell").filter(cond)
+    levels = index.stats_pyramid()  # fine+1 .. coarsest
+    if not levels:
+        pairs = enum_top(qdf, grid.g, grid.cw)
+        return pairs.join(_cell_stats_df(index), "cell").filter(cond)
+
+    qcols = qdf.columns
+    topg, topcw, _ = levels[-1]
+    frontier = enum_top(qdf, topg, topcw)
+    emitted = []
+    walk = list(reversed(levels))  # coarsest .. fine+1
+    for i, (lg, lcw, stats_l) in enumerate(walk):
+        j = frontier.join(stats_l, "cell").filter(cond)
+        if contained is not None:
+            emitted.append(j.filter(contained))
+            j = j.filter(~contained)
+        childg = walk[i + 1][0] if i + 1 < len(walk) else grid.g
+        fac = PYRAMID_FACTOR
+        frontier = (j.select(*qcols, "cell")
+                    .selectExpr(
+                        "*",
+                        f"explode(sequence(cell DIV {lg} * {fac}, "
+                        f"LEAST(cell DIV {lg} * {fac} + {fac - 1}, "
+                        f"{childg - 1}))) AS _cx")
+                    .selectExpr(
+                        "*",
+                        f"explode(sequence(cell % {lg} * {fac}, "
+                        f"LEAST(cell % {lg} * {fac} + {fac - 1}, "
+                        f"{childg - 1}))) AS _cy")
+                    .drop("cell")
+                    .selectExpr("*", f"_cx * {childg} + _cy AS cell")
+                    .drop("_cx", "_cy"))
+    out = frontier.join(_cell_stats_df(index), "cell").filter(cond)
+    for e in emitted:
+        out = out.unionByName(e.select(*out.columns))
+    return out
 
 
 def range_count(index: SpatialIndex, boxes) -> DataFrame:
     """-> (box_id, cnt). Exact, inclusive bounds."""
     bdf = _boxes_df(index, boxes)
+    # fully-contained cells take their stored count from the stats row
+    # (the "contained -> node.size" shortcut, range_count.hpp:78-80)
+    # and aggregate METADATA-ONLY — at EVERY pyramid level (a large
+    # box's interior resolves at coarse levels; _prune_join) — they
+    # never shuffle into the blob cogroup; only boundary pairs pay the
+    # Arrow hop + tree scan
+    contained = ((F.col("xmin") >= F.col("bxlo")) & (F.col("xmax") <= F.col("bxhi"))
+                 & (F.col("ymin") >= F.col("bylo")) & (F.col("ymax") <= F.col("byhi")))
     joined = _prune_join(
         index, bdf, len(boxes),
         (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
-        & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo")))
-    # the (box, cell) pair join is computed once and split: fully-
-    # contained pairs take the cell's stored count from the stats row
-    # (the "contained -> node.size" shortcut, range_count.hpp:78-80)
-    # and aggregate METADATA-ONLY — they never shuffle into the blob
-    # cogroup; only boundary pairs pay the Arrow hop + tree scan
-    contained = ((F.col("xmin") >= F.col("bxlo")) & (F.col("xmax") <= F.col("bxhi"))
-                 & (F.col("ymin") >= F.col("bylo")) & (F.col("ymax") <= F.col("byhi")))
+        & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo")),
+        contained=contained)
     # the (box, cell) prune join feeds three consumers (contained agg,
     # cold scan, hot scan); checkpoint it so it is computed once
     pairs = joined.withColumn("full", contained).select(
@@ -217,7 +267,8 @@ def circle_count(index: SpatialIndex, circles) -> DataFrame:
                     F.abs(F.col("cy") - F.col("ymax")))
     maxd2 = fx * fx + fy * fy
     r2 = F.col("r") * F.col("r")
-    joined = _prune_join(index, cdf, len(circles), mind2 <= r2)
+    joined = _prune_join(index, cdf, len(circles), mind2 <= r2,
+                         contained=maxd2 <= r2)
     pairs = joined.withColumn("full", maxd2 <= r2).select(
         "circle_id", "cx", "cy", "r", "cell", "ccnt", "full", "maxsalt") \
         .localCheckpoint(eager=True)  # three consumers, compute once
