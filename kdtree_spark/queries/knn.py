@@ -51,6 +51,7 @@ emitted as BIGINT so oracle hashes match bit-for-bit.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -130,6 +131,9 @@ def _coord_schema(index: SpatialIndex, cc: list) -> str:
     t = "double" if index.float_coords else "long"
     return ", ".join(f"{c} {t}" for c in cc)
 
+
+_BYPASS = os.environ.get("KDS_KNN_BYPASS", "1") != "0"
+# single-cell phase-4 bypass toggle (A/B instrument; on by default)
 
 PROBE_POOL_CAP = 65536       # max pooled probe points per cell group
 # (a backstop for extreme salted cells: per-query bound cost is one
@@ -367,47 +371,74 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
     # consumer (blocks are freed by the ContextCleaner once the result
     # is no longer referenced)
     cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
+    # single-cell bypass: with tight seed bounds most queries (~85% on
+    # uniform data) have exactly ONE candidate cell, so their per-cell
+    # top-k IS the final answer — phase 3 emits their ranks directly
+    # (fin=true) and phase 4's window sorts only the multi-cell
+    # minority. Counting cells per query is one metadata agg + join on
+    # the checkpointed candidates, far cheaper than windowing all rows.
+    if _BYPASS:
+        nc = cand.groupBy("qid").agg(F.count("*").alias("_nc"))
+        cand = cand.join(nc, "qid")
 
     # ---- phase 3: per-cell local top-k with ub pruning; hot (salted)
     # cells fan out to one task per blob (cogroup on (cell, salt)) so
     # varden-style clustering can't serialize a cell's queries on one
     # task — the per-blob searches lose cross-blob bound tightening,
-    # which phase 4's exact merge absorbs
+    # which phase 4's exact merge absorbs (a salted cell's queries are
+    # split across blobs, so its rows are always fin=false)
     cdt = _cdt(index)
 
-    def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return pd.DataFrame(columns=["qid", "nid", "dist_sq"])
-        qpts = qpdf[cc].to_numpy(cdt)
-        ub = qpdf["ub"].to_numpy(np.float64)
-        d, i = _group_knn(qpts, ipdf["blob"], k, ub)
-        qid = np.repeat(qpdf["qid"].to_numpy(np.int64), k)
-        dd = d.ravel()
-        ii = i.ravel()
-        ok = np.isfinite(dd)
-        return pd.DataFrame({"qid": qid[ok], "nid": ii[ok],
-                             "dist_sq": dd[ok]})
+    def make_cell_knn(allow_fin: bool):
+        def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
+                     ) -> pd.DataFrame:
+            if len(qpdf) == 0 or len(ipdf) == 0:
+                return pd.DataFrame(
+                    columns=["qid", "nid", "dist_sq", "rank", "fin"])
+            qpts = qpdf[cc].to_numpy(cdt)
+            ub = qpdf["ub"].to_numpy(np.float64)
+            d, i = _group_knn(qpts, ipdf["blob"], k, ub)
+            m = len(qpdf)
+            qid = np.repeat(qpdf["qid"].to_numpy(np.int64), k)
+            rank = np.tile(np.arange(1, k + 1, dtype=np.int32), m)
+            fin = (np.repeat(qpdf["_nc"].to_numpy(np.int64) == 1, k)
+                   if allow_fin and _BYPASS else np.zeros(m * k, bool))
+            dd = d.ravel()
+            ii = i.ravel()
+            ok = np.isfinite(dd)
+            return pd.DataFrame({"qid": qid[ok], "nid": ii[ok],
+                                 "dist_sq": dd[ok], "rank": rank[ok],
+                                 "fin": fin[ok]})
+        return cell_knn
 
-    out_schema = "qid long, nid long, dist_sq double"
+    out_schema = "qid long, nid long, dist_sq double, rank int, fin boolean"
     cold, hot, cold_blobs, hblobs = _pruned_blob_sides(index, cand)
+    # the fin/~fin split below consumes this twice; checkpoint so the
+    # cogroups (and their blob Arrow feed) execute exactly once
     local = (cold.groupby("cell")
              .cogroup(cold_blobs.groupby("cell"))
-             .applyInPandas(cell_knn, out_schema)
+             .applyInPandas(make_cell_knn(True), out_schema)
              .unionByName(
                  hot.groupby("cell", "salt")
                  .cogroup(hblobs.groupby("cell", "salt"))
-                 .applyInPandas(cell_knn, out_schema)))
+                 .applyInPandas(make_cell_knn(False), out_schema))
+             .localCheckpoint(eager=False))
 
-    # ---- phase 4: global exact top-k. Integer mode emits BIGINT
-    # distances (exact, hash-stable vs the oracle); float mode keeps
-    # the IEEE double — bit-identical to DuckDB's same-op-order
+    # ---- phase 4: global exact top-k over the multi-cell minority;
+    # single-cell rows keep their locally-emitted rank (same
+    # (dist², nid) order, computed in the kernel). Integer mode emits
+    # BIGINT distances (exact, hash-stable vs the oracle); float mode
+    # keeps the IEEE double — bit-identical to DuckDB's same-op-order
     # arithmetic on the same doubles.
     w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(),
                                           F.col("nid").asc())
     dist = (F.col("dist_sq") if index.float_coords
             else F.col("dist_sq").cast("long"))
-    return (local.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    done = local.filter(F.col("fin"))
+    merged = (local.filter(~F.col("fin"))
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k))
+    return (done.unionByName(merged)
             .select("qid", "rank", "nid", dist.alias("dist_sq")))
 
 
