@@ -776,6 +776,38 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
 FROM r WHERE rank <= 10"""
 
 
+def q_range_count_f64(spark, sf_dir) -> DataFrame:
+    """Range count over the float-mode index: integer box bounds,
+    double coordinates (inclusive compares on int-valued bounds are the
+    identical predicate in numpy, Spark and DuckDB)."""
+    return range_count(get_index_f64(spark, sf_dir), BOXES)
+
+
+def sql_range_count_f64() -> str:
+    vals = fixtures.boxes_values_sql(BOXES)
+    return f"""
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN (SELECT {points.f64_select_sql()} FROM lineitem) p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi
+GROUP BY b.box_id"""
+
+
+def q_range_report_f64(spark, sf_dir) -> DataFrame:
+    """Range report over the float-mode index: coordinates come back
+    DOUBLE, hash-compared bit-for-bit against DuckDB's doubles."""
+    return range_report(get_index_f64(spark, sf_dir), BOXES_SMALL)
+
+
+def sql_range_report_f64() -> str:
+    vals = fixtures.boxes_values_sql(BOXES_SMALL)
+    return f"""
+SELECT b.box_id, p.pid, p.x, p.y
+FROM {vals}
+JOIN (SELECT {points.f64_select_sql()} FROM lineitem) p
+  ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi"""
+
+
 # ------------------------------------------------------- polygon / raster
 
 def q_point_in_polygon(spark, sf_dir) -> DataFrame:
@@ -910,6 +942,8 @@ QUERIES = {
     "knn_k10_d5": q_knn_k10_d5,
     "knn_k10_d16": q_knn_k10_d16,
     "knn_k10_f64": q_knn_k10_f64,
+    "range_count_f64": q_range_count_f64,
+    "range_report_f64": q_range_report_f64,
     "snapshot_roundtrip": q_snapshot_roundtrip,
     "sliding_window_count": q_sliding_window_count,
     "sliding_window_knn": q_sliding_window_knn,
@@ -944,6 +978,8 @@ ORACLES = {
     "knn_k10_d5": sql_knn_k10_d5(),
     "knn_k10_d16": sql_knn_k10_d16(),
     "knn_k10_f64": sql_knn_k10_f64(),
+    "range_count_f64": sql_range_count_f64(),
+    "range_report_f64": sql_range_report_f64(),
     "snapshot_roundtrip": sql_snapshot_roundtrip(),
     "sliding_window_count": sql_sliding_window_count(),
     "sliding_window_knn": sql_sliding_window_knn(),

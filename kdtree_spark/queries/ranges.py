@@ -213,7 +213,12 @@ def range_count(index: SpatialIndex, boxes) -> DataFrame:
 
 
 def range_report(index: SpatialIndex, boxes) -> DataFrame:
-    """-> (box_id, pid, x, y): every live point inside each box."""
+    """-> (box_id, pid, x, y): every live point inside each box.
+    Coordinates come back LONG on integer indexes, DOUBLE on float-mode
+    indexes (boxes stay integer bounds either way — an inclusive
+    compare of a double against an exact integer bound is the same
+    predicate in numpy, Spark and DuckDB)."""
+    ct = "double" if index.float_coords else "long"
     bdf = _boxes_df(index, boxes)
     pairs = _prune_join(
         index, bdf, len(boxes),
@@ -239,7 +244,7 @@ def range_report(index: SpatialIndex, boxes) -> DataFrame:
         return pd.concat(outs, ignore_index=True)
 
     return _scan_counts(index, pairs, scan,
-                        "box_id long, pid long, x long, y long")
+                        f"box_id long, pid long, x {ct}, y {ct}")
 
 
 def circle_count(index: SpatialIndex, circles) -> DataFrame:
