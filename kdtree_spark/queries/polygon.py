@@ -30,11 +30,16 @@ def point_in_polygon(points: DataFrame, polygons,
 
     -> (poly_id, pid, x, y): every point inside each polygon (inclusive
     of edges). ONE scan, cell-indexed: each polygon's bbox expands to
-    its covered grid cells (tiny broadcast table), the join is a
-    broadcast HASH join on the cell id (codegen, no nested loop), and
-    the half-plane conjunction is a JVM-side `forall` over edge structs.
-    At 10^12 points the cell equi-join prunes to the polygons' cells
-    (partition pruning when points are stored cell-partitioned)."""
+    its covered grid cells SPARK-SIDE (`sequence() x explode`, exactly
+    like tile_cell_assign — the driver ships only one tiny row per
+    polygon, never O(covered cells), so a domain-sized polygon over a
+    1e8-cell grid costs the driver nothing); the join is an equi-join
+    on the cell id (AQE broadcasts the polygon-cell side while it is
+    small, shuffles when a huge polygon makes it large — never a
+    nested loop), and the half-plane conjunction is a JVM-side
+    `forall` over edge structs. At 10^12 points the cell equi-join
+    prunes to the polygons' cells (partition pruning when points are
+    stored cell-partitioned)."""
     spark = points.sparkSession
     grid = grid or Grid(8)
     rows = []
@@ -45,16 +50,25 @@ def point_in_polygon(points: DataFrame, polygons,
                   int(verts[(j + 1) % k][0] - verts[j][0]),
                   int(verts[(j + 1) % k][1] - verts[j][1]))
                  for j in range(k)]
-        for cell in grid.cells_overlapping_box(x0, y0, x1, y1):
-            rows.append((int(cell), int(poly_id),
-                         int(x0), int(y0), int(x1), int(y1), edges))
+        rows.append((int(poly_id), int(x0), int(y0), int(x1), int(y1),
+                     edges))
     pdf = spark.createDataFrame(
-        rows, "cell long, poly_id long, px0 long, py0 long, px1 long, "
+        rows, "poly_id long, px0 long, py0 long, px1 long, "
               "py1 long, edges array<struct<ax:long, ay:long, dx:long, "
               "dy:long>>")
+    cw, g = grid.cw, grid.g
+    cells = (pdf
+             .withColumn("_cx", F.explode(F.sequence(
+                 F.expr(f"GREATEST(px0 DIV {cw}, 0)"),
+                 F.expr(f"LEAST(px1 DIV {cw}, {g - 1})"))))
+             .withColumn("_cy", F.explode(F.sequence(
+                 F.expr(f"GREATEST(py0 DIV {cw}, 0)"),
+                 F.expr(f"LEAST(py1 DIV {cw}, {g - 1})"))))
+             .withColumn("cell", F.col("_cx") * g + F.col("_cy"))
+             .drop("_cx", "_cy"))
     pts = points.selectExpr("pid", "x", "y",
                             f"{grid.spark_cell_sql()} AS cell")
-    j = (pts.join(F.broadcast(pdf), "cell")
+    j = (pts.join(cells, "cell")
          .filter((F.col("x") >= F.col("px0")) & (F.col("x") <= F.col("px1"))
                  & (F.col("y") >= F.col("py0"))
                  & (F.col("y") <= F.col("py1"))))
