@@ -724,6 +724,51 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
 FROM r WHERE rank <= 10"""
 
 
+BOXES_D5 = fixtures.gen_boxes_d(24, 5)
+
+
+def q_range_count_d5(spark, sf_dir) -> DataFrame:
+    """Range count at d=5 — reference parity: script/checkCorrect.sh
+    runs queryType 1 (range count) at d=5 over the dim-templated
+    range_count.hpp; cell enumeration keys on (x, y), classification
+    and the kernel scan use all 5 dims."""
+    return range_count(get_index_d5(spark, sf_dir), BOXES_D5)
+
+
+def _d5_box_pred(p: str = "p", b: str = "b") -> str:
+    lo = ["bxlo", "bylo", "blo2", "blo3", "blo4"]
+    hi = ["bxhi", "byhi", "bhi2", "bhi3", "bhi4"]
+    return " AND ".join(
+        f"{p}.{c} BETWEEN {b}.{l} AND {b}.{h}"
+        for c, l, h in zip(points.D5_COLS, lo, hi))
+
+
+def sql_range_count_d5() -> str:
+    vals = fixtures.boxes_values_sql_d(BOXES_D5, 5)
+    return f"""
+SELECT b.box_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN (SELECT {points.d5_select_sql()} FROM lineitem) p
+  ON {_d5_box_pred()}
+GROUP BY b.box_id"""
+
+
+def q_range_report_d5(spark, sf_dir) -> DataFrame:
+    """Range report at d=5 (queryType 2 of checkCorrect.sh): emits all
+    five coordinate columns per matched point."""
+    return range_report(get_index_d5(spark, sf_dir), BOXES_D5)
+
+
+def sql_range_report_d5() -> str:
+    vals = fixtures.boxes_values_sql_d(BOXES_D5, 5)
+    cols = ", ".join(f"p.{c}" for c in points.D5_COLS)
+    return f"""
+SELECT b.box_id, p.pid, {cols}
+FROM {vals}
+JOIN (SELECT {points.d5_select_sql()} FROM lineitem) p
+  ON {_d5_box_pred()}"""
+
+
 # -------------------------------------------------------- float coords (f64)
 
 def get_index_f64(spark, sf_dir) -> SpatialIndex:
@@ -806,6 +851,68 @@ SELECT b.box_id, p.pid, p.x, p.y
 FROM {vals}
 JOIN (SELECT {points.f64_select_sql()} FROM lineitem) p
   ON p.x BETWEEN b.bxlo AND b.bxhi AND p.y BETWEEN b.bylo AND b.byhi"""
+
+
+def q_circle_count_f64(spark, sf_dir) -> DataFrame:
+    """Circle count over the float-mode index: integer centers/radii,
+    double coordinates. dist² is a sum of two (sub, mul) chains on
+    bit-identical doubles — IEEE-identical across numpy/Spark/DuckDB
+    because each operand arrives exactly and every op is correctly
+    rounded in the same order."""
+    return circle_count(get_index_f64(spark, sf_dir), CIRCLES)
+
+
+def sql_circle_count_f64() -> str:
+    vals = fixtures.circles_values_sql(CIRCLES)
+    return f"""
+SELECT c.circle_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN (SELECT {points.f64_select_sql()} FROM lineitem) p
+  ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+     <= CAST(c.r AS DOUBLE) * CAST(c.r AS DOUBLE)
+GROUP BY c.circle_id"""
+
+
+def q_update_then_knn_f64(spark, sf_dir) -> DataFrame:
+    """I1+D1 then kNN k=10, float mode — the tag=2 checkCorrect.sh
+    workload over double coordinates (the reference's double test
+    build runs the same insert/delete/query chain)."""
+    idx = get_index_f64(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_updf_lineitem")
+    ins = spark.sql(points.insert_batch_f64_sql("_updf_lineitem"))
+    dele = spark.sql(points.delete_batch_f64_sql("_updf_lineitem"))
+    idx2 = idx.update(inserts=ins, deletes=dele)
+    q = spark.sql(
+        f"SELECT {points.f64_select_sql('qid')} FROM _updf_lineitem "
+        f"WHERE {points.QUERY_FILTER_SQL}")
+    return (knn_join(idx2, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_update_then_knn_f64() -> str:
+    return f"""
+WITH live AS (
+  SELECT * FROM (SELECT {points.f64_select_sql()} FROM lineitem)
+  WHERE pid NOT IN
+    (SELECT pid FROM ({points.delete_batch_f64_sql('lineitem')}))
+  UNION ALL
+  SELECT pid, x, y FROM ({points.insert_batch_f64_sql('lineitem')})
+),
+q AS (SELECT pid AS qid, x AS qx, y AS qy
+      FROM (SELECT {points.f64_select_sql()} FROM lineitem)
+      WHERE (pid % 101 = 7)),
+d AS (SELECT q.qid, live.pid AS nid,
+             (live.x - q.qx) * (live.x - q.qx)
+           + (live.y - q.qy) * (live.y - q.qy) AS dist_sq
+      FROM q CROSS JOIN live),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
 
 
 # ------------------------------------------------------- polygon / raster
@@ -941,9 +1048,13 @@ QUERIES = {
     "incr_build_and_query": q_incr_build_and_query,
     "knn_k10_d5": q_knn_k10_d5,
     "knn_k10_d16": q_knn_k10_d16,
+    "range_count_d5": q_range_count_d5,
+    "range_report_d5": q_range_report_d5,
     "knn_k10_f64": q_knn_k10_f64,
     "range_count_f64": q_range_count_f64,
     "range_report_f64": q_range_report_f64,
+    "circle_count_f64": q_circle_count_f64,
+    "update_then_knn_f64": q_update_then_knn_f64,
     "snapshot_roundtrip": q_snapshot_roundtrip,
     "sliding_window_count": q_sliding_window_count,
     "sliding_window_knn": q_sliding_window_knn,
@@ -977,9 +1088,13 @@ ORACLES = {
     "incr_build_and_query": sql_incr_build_and_query(),
     "knn_k10_d5": sql_knn_k10_d5(),
     "knn_k10_d16": sql_knn_k10_d16(),
+    "range_count_d5": sql_range_count_d5(),
+    "range_report_d5": sql_range_report_d5(),
     "knn_k10_f64": sql_knn_k10_f64(),
     "range_count_f64": sql_range_count_f64(),
     "range_report_f64": sql_range_report_f64(),
+    "circle_count_f64": sql_circle_count_f64(),
+    "update_then_knn_f64": sql_update_then_knn_f64(),
     "snapshot_roundtrip": sql_snapshot_roundtrip(),
     "sliding_window_count": sql_sliding_window_count(),
     "sliding_window_knn": sql_sliding_window_knn(),

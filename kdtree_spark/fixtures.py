@@ -42,6 +42,38 @@ def gen_boxes(n: int = 30, seed: int = 10,
     return out
 
 
+def gen_boxes_d(n: int, d: int, seed: int = 11,
+                classes: tuple = (0, 1, 2)) -> list[tuple]:
+    """d-dimensional boxes (box_id, lo0..lo{d-1}, hi0..hi{d-1}) with the
+    same expected-count brackets as gen_boxes: a 2-D box of width w
+    covers an area fraction (w/L)², so the d-D per-dim width holding the
+    same point count is L^(1-2/d) * w^(2/d) (the reference's range
+    sweep runs at d=5, script/checkCorrect.sh)."""
+    rng = np.random.default_rng(seed)
+    L = COORD_LIMIT
+    out = []
+    for i in range(n):
+        wlo, whi = _BRACKETS[classes[i % len(classes)]]
+        lo, hi = [], []
+        for _ in range(d):
+            w2 = int(rng.integers(wlo, whi))
+            w = min(int(L ** (1 - 2 / d) * w2 ** (2 / d)), L - 1)
+            x0 = int(rng.integers(0, L - w))
+            lo.append(x0)
+            hi.append(x0 + w)
+        out.append((i, *lo, *hi))
+    return out
+
+
+def boxes_values_sql_d(boxes, d: int, alias: str = "b") -> str:
+    rows = ", ".join("(" + ", ".join(str(v) for v in b) + ")"
+                     for b in boxes)
+    lo = ["bxlo", "bylo"] + [f"blo{j}" for j in range(2, d)]
+    hi = ["bxhi", "byhi"] + [f"bhi{j}" for j in range(2, d)]
+    return (f"(VALUES {rows}) AS {alias}(box_id, "
+            + ", ".join(lo + hi) + ")")
+
+
 def gen_circles(n: int = 30, seed: int = 20) -> list[tuple[int, int, int, int]]:
     """(circle_id, cx, cy, r) with radii cycling the same brackets."""
     rng = np.random.default_rng(seed)

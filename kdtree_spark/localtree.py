@@ -365,7 +365,8 @@ class LocalKDTree:
 
     # -------------------------------------------------------------------- kNN
 
-    def knn_bound(self, q: np.ndarray, k: int) -> np.ndarray:
+    def knn_bound(self, q: np.ndarray, k: int,
+                  stats: dict | None = None) -> np.ndarray:
         """Cheap VALID upper bound on each query's kth-NN distance².
 
         Vectorized descent to the deepest enclosing subtree block with
@@ -418,6 +419,9 @@ class LocalKDTree:
                     bpts = bpts[_alive_mask(tomb, bids)]
                 if len(bpts) < k:
                     continue
+                if stats is not None:
+                    stats["scanned"][qsub] += len(bpts)
+                    stats["leaves"][qsub] += 1
                 diff = qf[qsub, None, :] - bpts[None, :, :].astype(np.float64)
                 d2 = np.einsum("ijk,ijk->ij", diff, diff)
                 bound[qsub] = np.partition(d2, k - 1, axis=1)[:, k - 1]
@@ -430,7 +434,7 @@ class LocalKDTree:
         return bound
 
     def knn(self, q: np.ndarray, k: int, ub: np.ndarray | None = None,
-            stats: dict | None = None):
+            stats: dict | None = None, tighten: bool | None = None):
         """Exact k nearest neighbours for a batch of queries.
 
         q: (m, d) int64. ub: optional (m,) float64 VALID upper bound on
@@ -472,10 +476,19 @@ class LocalKDTree:
         # extra one-block scan cuts 955 -> ~300 scanned points/query.
         # Small blobs skip it: salted hot cells replicate queries per
         # blob and the per-blob bound scan dominated the varden leg 3x.
-        bound = (self.knn_bound(q, k) if ub is None
+        # tighten: None = auto (large blobs only); True forces the
+        # per-blob block-scan tighten (the cold/unsalted cogroup passes
+        # True — one blob per cell, so the scan runs once per query and
+        # replaces the probe-sample seed's looseness with a bound from
+        # the blob's OWN points, the reference's nearer-child-first
+        # effect, nn_search.hpp:107-120); False/auto on salted fan-out
+        # paths where per-blob replication made it a 3x regression.
+        bound = (self.knn_bound(q, k, stats=stats) if ub is None
                  else np.asarray(ub, np.float64).copy())
-        if ub is not None and self.n_base >= TIGHTEN_MIN:
-            bound = np.minimum(bound, self.knn_bound(q, k))
+        if ub is not None and (tighten is True or
+                               (tighten is None
+                                and self.n_base >= TIGHTEN_MIN)):
+            bound = np.minimum(bound, self.knn_bound(q, k, stats=stats))
 
         qf = q.astype(np.float64)
         # tombstones are filtered AT THE LEAF (sorted-array membership per

@@ -58,17 +58,16 @@ def token_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     itself is orderBy().limit(k) — Catalyst plans TakeOrderedAndProject
     (per-partition top-k then a k-row merge on the driver), so no
     single task ever holds the vocabulary (a global rank window would
-    move every distinct token to one partition). The rank column is
-    derived by a second window over just the k surviving rows.
+    move every distinct token to one partition). The rank column is a
+    window over ONLY the k surviving rows (the limit sits below the
+    window in the plan), so the single-partition WindowExec sees k rows
+    — and the whole thing stays a lazy plan a caller can compose.
     """
     freq = tokens(docs).groupBy("token").agg(F.count("*").alias("cnt"))
     topk = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
-    pdf = (topk.toPandas()
-           .sort_values(["cnt", "token"], ascending=[False, True])
-           .reset_index(drop=True))
-    pdf["rank"] = pdf.index.to_numpy() + 1
-    return docs.sparkSession.createDataFrame(
-        pdf, "token string, cnt long, rank long")
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return topk.select("token", "cnt",
+                       F.row_number().over(w).cast("long").alias("rank"))
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

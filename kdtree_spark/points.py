@@ -182,6 +182,26 @@ def insert_batch_d3_sql(table: str = "lineitem") -> str:
             f"FROM {table} WHERE {INSERT_FILTER_SQL}")
 
 
+def insert_batch_f64_sql(table: str = "lineitem") -> str:
+    """Float-mode insert batch: integer scrambles + one fractional
+    divide/add per coord — the same bit-identical-double contract as
+    f64_select_sql (distinct fractional primes, so inserted points
+    never collide with existing ones)."""
+    return (f"SELECT {INSERT_PID_SQL} AS pid, "
+            f"CAST({INSERT_X_SQL} AS DOUBLE)"
+            f" + ({PID_SQL} % 983) / CAST(983 AS DOUBLE) AS x, "
+            f"CAST({INSERT_Y_SQL} AS DOUBLE)"
+            f" + ({PID_SQL} % 977) / CAST(977 AS DOUBLE) AS y "
+            f"FROM {table} WHERE {INSERT_FILTER_SQL}")
+
+
+def delete_batch_f64_sql(table: str = "lineitem") -> str:
+    """Float-mode delete batch: existing f64 points (bit-identical
+    coords route the delete to the right cell)."""
+    return (f"SELECT pid, x, y FROM (SELECT {f64_select_sql()} "
+            f"FROM {table} WHERE {DELETE_FILTER_SQL})")
+
+
 def delete_batch_sql(table: str = "lineitem", dist: str = "uniform") -> str:
     """Deletes target existing points (FullCovered semantics on the match)."""
     sel = points_select_sql(dist)

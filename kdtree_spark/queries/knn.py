@@ -66,14 +66,14 @@ from .skew import split_by_salt as _split_by_salt
 
 
 def _group_knn(qpts: np.ndarray, blobs, k: int, ub: np.ndarray | None,
-               stats: dict | None = None):
+               stats: dict | None = None, tighten: bool | None = None):
     """Best-k over every blob of one cell group; returns (dist2, ids)."""
     m = qpts.shape[0]
     best_d = best_i = None
     bound = None if ub is None else np.asarray(ub, np.float64).copy()
     for blob in blobs:
         tree = LocalKDTree.from_bytes(blob)
-        d, i = tree.knn(qpts, k, ub=bound, stats=stats)
+        d, i = tree.knn(qpts, k, ub=bound, stats=stats, tighten=tighten)
         if best_d is None:
             # knn() rows are (dist², id)-sorted with (inf, -1) padding
             # at the end — for the first (and most often only) blob the
@@ -134,6 +134,10 @@ def _coord_schema(index: SpatialIndex, cc: list) -> str:
 
 _BYPASS = os.environ.get("KDS_KNN_BYPASS", "1") != "0"
 # single-cell phase-4 bypass toggle (A/B instrument; on by default)
+
+_TIGHTEN_COLD = os.environ.get("KDS_KNN_TIGHTEN_COLD", "1") != "0"
+# cold-cogroup per-blob bound tighten toggle (A/B instrument; on by
+# default — see make_cell_knn)
 
 PROBE_POOL_CAP = 65536       # max pooled probe points per cell group
 # (a backstop for extreme salted cells: per-query bound cost is one
@@ -390,6 +394,13 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
     cdt = _cdt(index)
 
     def make_cell_knn(allow_fin: bool):
+        # cold (unsalted) groups force the per-blob block-scan tighten:
+        # the probe-sample seed is loose by ~(cell/sample)^(1/d) in
+        # radius, and one ~max(2k,128)-pt scan of the blob's own points
+        # recovers the r2 blob-seeded bound quality without shipping
+        # blobs in phase 1. Hot (salted) groups keep the size heuristic
+        # — replicated queries made the unconditional scan a 3x
+        # regression on varden.
         def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
                      ) -> pd.DataFrame:
             if len(qpdf) == 0 or len(ipdf) == 0:
@@ -397,7 +408,8 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
                     columns=["qid", "nid", "dist_sq", "rank", "fin"])
             qpts = qpdf[cc].to_numpy(cdt)
             ub = qpdf["ub"].to_numpy(np.float64)
-            d, i = _group_knn(qpts, ipdf["blob"], k, ub)
+            d, i = _group_knn(qpts, ipdf["blob"], k, ub,
+                              tighten=(allow_fin and _TIGHTEN_COLD) or None)
             m = len(qpdf)
             qid = np.repeat(qpdf["qid"].to_numpy(np.int64), k)
             rank = np.tile(np.arange(1, k + 1, dtype=np.int32), m)
@@ -476,27 +488,33 @@ def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
 
     cdt = _cdt(index)
 
-    def cell_count(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
-                   ) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(ipdf) == 0:
-            return pd.DataFrame(columns=["qid", "scanned", "leaves"])
-        qpts = qpdf[cc].to_numpy(cdt)
-        ub = qpdf["ub"].to_numpy(np.float64)
-        st: dict = {}
-        _group_knn(qpts, ipdf["blob"], k, ub, stats=st)
-        return pd.DataFrame({"qid": qpdf["qid"].to_numpy(np.int64),
-                             "scanned": st["scanned"],
-                             "leaves": st["leaves"]})
+    def make_cell_count(tighten: bool | None):
+        # mirror knn_join's tighten flags (cold forces the block-scan
+        # tighten; its scanned points are counted via knn_bound's stats
+        # hook, so the audit reflects ALL distance comparisons)
+        def cell_count(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
+                       ) -> pd.DataFrame:
+            if len(qpdf) == 0 or len(ipdf) == 0:
+                return pd.DataFrame(columns=["qid", "scanned", "leaves"])
+            qpts = qpdf[cc].to_numpy(cdt)
+            ub = qpdf["ub"].to_numpy(np.float64)
+            st: dict = {}
+            _group_knn(qpts, ipdf["blob"], k, ub, stats=st,
+                       tighten=tighten)
+            return pd.DataFrame({"qid": qpdf["qid"].to_numpy(np.int64),
+                                 "scanned": st["scanned"],
+                                 "leaves": st["leaves"]})
+        return cell_count
 
     cnt_schema = "qid long, scanned long, leaves long"
     cold, hot, cold_blobs, hblobs = _pruned_blob_sides(index, cand)
     per_cell = (cold.groupby("cell")
                 .cogroup(cold_blobs.groupby("cell"))
-                .applyInPandas(cell_count, cnt_schema)
+                .applyInPandas(make_cell_count(True), cnt_schema)
                 .unionByName(
                     hot.groupby("cell", "salt")
                     .cogroup(hblobs.groupby("cell", "salt"))
-                    .applyInPandas(cell_count, cnt_schema)))
+                    .applyInPandas(make_cell_count(None), cnt_schema)))
     return (per_cell.groupBy("qid")
             .agg(F.sum("scanned").alias("scanned"),
                  F.sum("leaves").alias("leaves")))

@@ -57,7 +57,12 @@ def point_in_polygon(points: DataFrame, polygons,
               "py1 long, edges array<struct<ax:long, ay:long, dx:long, "
               "dy:long>>")
     cw, g = grid.cw, grid.g
-    cells = (pdf
+    # A bbox entirely off-grid on one axis would clip to start > stop and
+    # sequence() would emit a DESCENDING range (spurious cells); such
+    # polygons contain no points, so drop them before enumerating.
+    on_grid = F.expr(f"px1 >= 0 AND px0 DIV {cw} <= {g - 1} "
+                     f"AND py1 >= 0 AND py0 DIV {cw} <= {g - 1}")
+    cells = (pdf.filter(on_grid)
              .withColumn("_cx", F.explode(F.sequence(
                  F.expr(f"GREATEST(px0 DIV {cw}, 0)"),
                  F.expr(f"LEAST(px1 DIV {cw}, {g - 1})"))))

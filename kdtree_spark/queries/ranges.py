@@ -61,15 +61,48 @@ def _scan_counts(index: SpatialIndex, bnd: DataFrame, scan, schema: str
                 .applyInPandas(scan, schema)))
 
 
+def _box_cols(d: int) -> tuple[list, list]:
+    """Box lo/hi column names: 2-D keeps the historical bxlo/bylo/bxhi/
+    byhi names; dims >= 2 add blo{j}/bhi{j}, mirroring the stats tables'
+    mn{j}/mx{j} (index.cell_stats)."""
+    lo = ["bxlo", "bylo"] + [f"blo{j}" for j in range(2, d)]
+    hi = ["bxhi", "byhi"] + [f"bhi{j}" for j in range(2, d)]
+    return lo, hi
+
+
+def _stats_cols(d: int) -> tuple[list, list]:
+    lo = ["xmin", "ymin"] + [f"mn{j}" for j in range(2, d)]
+    hi = ["xmax", "ymax"] + [f"mx{j}" for j in range(2, d)]
+    return lo, hi
+
+
+def _box_conds(d: int):
+    """(overlap, contained) full-d Spark conditions between a box row
+    and a stats row — the reference's 3-way box classification
+    (range_count.hpp:9-96) as whole-stage-codegen'd SQL."""
+    blo, bhi = _box_cols(d)
+    slo, shi = _stats_cols(d)
+    overlap = contained = F.lit(True)
+    for bl, bh, sl, sh in zip(blo, bhi, slo, shi):
+        overlap = overlap & (F.col(sl) <= F.col(bh)) \
+            & (F.col(sh) >= F.col(bl))
+        contained = contained & (F.col(sl) >= F.col(bl)) \
+            & (F.col(sh) <= F.col(bh))
+    return overlap, contained
+
+
 def _boxes_df(index: SpatialIndex, boxes) -> DataFrame:
-    """boxes: sequence of (box_id, xlo, ylo, xhi, yhi) -> DataFrame
+    """boxes: sequence of (box_id, lo0..lo{d-1}, hi0..hi{d-1}) — for
+    d=2 the historical (box_id, xlo, ylo, xhi, yhi) — -> DataFrame
     (Arrow path via pandas — createDataFrame over python tuples is
     row-at-a-time and stalls the driver for 1e5+ query batches)."""
-    arr = np.asarray(boxes, dtype=np.int64).reshape(-1, 5)
-    pdf = pd.DataFrame({
-        "box_id": arr[:, 0], "bxlo": arr[:, 1], "bylo": arr[:, 2],
-        "bxhi": arr[:, 3], "byhi": arr[:, 4]})
-    return index.spark.createDataFrame(pdf)
+    d = len(index.coord_cols)
+    arr = np.asarray(boxes, dtype=np.int64).reshape(-1, 1 + 2 * d)
+    lo, hi = _box_cols(d)
+    cols = {"box_id": arr[:, 0]}
+    for j, c in enumerate(lo + hi):
+        cols[c] = arr[:, 1 + j]
+    return index.spark.createDataFrame(pd.DataFrame(cols))
 
 
 def _cell_stats_df(index: SpatialIndex) -> DataFrame:
@@ -164,7 +197,12 @@ def _prune_join(index: SpatialIndex, qdf: DataFrame, n_queries: int,
 
 
 def range_count(index: SpatialIndex, boxes) -> DataFrame:
-    """-> (box_id, cnt). Exact, inclusive bounds."""
+    """-> (box_id, cnt). Exact, inclusive bounds; d-generic (the
+    reference's correctness sweep runs range count at d=5,
+    script/checkCorrect.sh) — cell enumeration keys on the two grid
+    dims, classification and the kernel scan use all d."""
+    d = len(index.coord_cols)
+    blo_c, bhi_c = _box_cols(d)
     bdf = _boxes_df(index, boxes)
     # fully-contained cells take their stored count from the stats row
     # (the "contained -> node.size" shortcut, range_count.hpp:78-80)
@@ -172,27 +210,23 @@ def range_count(index: SpatialIndex, boxes) -> DataFrame:
     # box's interior resolves at coarse levels; _prune_join) — they
     # never shuffle into the blob cogroup; only boundary pairs pay the
     # Arrow hop + tree scan
-    contained = ((F.col("xmin") >= F.col("bxlo")) & (F.col("xmax") <= F.col("bxhi"))
-                 & (F.col("ymin") >= F.col("bylo")) & (F.col("ymax") <= F.col("byhi")))
-    joined = _prune_join(
-        index, bdf, len(boxes),
-        (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
-        & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo")),
-        contained=contained)
+    overlap, contained = _box_conds(d)
+    joined = _prune_join(index, bdf, len(boxes), overlap,
+                         contained=contained)
     # the (box, cell) prune join feeds three consumers (contained agg,
     # cold scan, hot scan); checkpoint it so it is computed once
     pairs = joined.withColumn("full", contained).select(
-        "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "ccnt", "full",
+        "box_id", *blo_c, *bhi_c, "cell", "ccnt", "full",
         "maxsalt").localCheckpoint(eager=True)
     full_counts = (pairs.filter(F.col("full"))
                    .groupBy("box_id").agg(F.sum("ccnt").alias("cnt")))
     bnd = pairs.filter(~F.col("full")).select(
-        "box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "maxsalt")
+        "box_id", *blo_c, *bhi_c, "cell", "maxsalt")
 
     def scan(key, bpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(bpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["box_id", "cnt"])
-        qboxes = bpdf[["bxlo", "bylo", "bxhi", "byhi"]].to_numpy(np.int64)
+        qboxes = bpdf[blo_c + bhi_c].to_numpy(np.int64)
         part = np.zeros(len(bpdf), np.int64)
         for blob in ipdf["blob"]:
             part += LocalKDTree.from_bytes(blob).range_count(qboxes)
@@ -213,79 +247,88 @@ def range_count(index: SpatialIndex, boxes) -> DataFrame:
 
 
 def range_report(index: SpatialIndex, boxes) -> DataFrame:
-    """-> (box_id, pid, x, y): every live point inside each box.
+    """-> (box_id, pid, <coord cols>): every live point inside each
+    box (all d coordinate columns, named as the index's coord_cols).
     Coordinates come back LONG on integer indexes, DOUBLE on float-mode
     indexes (boxes stay integer bounds either way — an inclusive
     compare of a double against an exact integer bound is the same
     predicate in numpy, Spark and DuckDB)."""
+    d = len(index.coord_cols)
+    cc = list(index.coord_cols)
+    blo_c, bhi_c = _box_cols(d)
     ct = "double" if index.float_coords else "long"
     bdf = _boxes_df(index, boxes)
-    pairs = _prune_join(
-        index, bdf, len(boxes),
-        (F.col("xmin") <= F.col("bxhi")) & (F.col("xmax") >= F.col("bxlo"))
-        & (F.col("ymin") <= F.col("byhi")) & (F.col("ymax") >= F.col("bylo"))
-    ).select("box_id", "bxlo", "bylo", "bxhi", "byhi", "cell", "maxsalt") \
+    overlap, _ = _box_conds(d)
+    pairs = _prune_join(index, bdf, len(boxes), overlap) \
+        .select("box_id", *blo_c, *bhi_c, "cell", "maxsalt") \
         .localCheckpoint(eager=True)  # consumed by both scan branches
 
     def scan(key, bpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(bpdf) == 0 or len(ipdf) == 0:
-            return pd.DataFrame(columns=["box_id", "pid", "x", "y"])
-        qboxes = bpdf[["bxlo", "bylo", "bxhi", "byhi"]].to_numpy(np.int64)
+            return pd.DataFrame(columns=["box_id", "pid", *cc])
+        qboxes = bpdf[blo_c + bhi_c].to_numpy(np.int64)
         bids = bpdf["box_id"].to_numpy(np.int64)
         outs = []
         for blob in ipdf["blob"]:
             bi, pp, ii = LocalKDTree.from_bytes(blob).range_report(qboxes)
             if len(ii):
-                outs.append(pd.DataFrame({
-                    "box_id": bids[bi], "pid": ii,
-                    "x": pp[:, 0], "y": pp[:, 1]}))
+                out = {"box_id": bids[bi], "pid": ii}
+                for j, c in enumerate(cc):
+                    out[c] = pp[:, j]
+                outs.append(pd.DataFrame(out))
         if not outs:
-            return pd.DataFrame(columns=["box_id", "pid", "x", "y"])
+            return pd.DataFrame(columns=["box_id", "pid", *cc])
         return pd.concat(outs, ignore_index=True)
 
+    coord_schema = ", ".join(f"{c} {ct}" for c in cc)
     return _scan_counts(index, pairs, scan,
-                        f"box_id long, pid long, x {ct}, y {ct}")
+                        f"box_id long, pid long, {coord_schema}")
 
 
 def circle_count(index: SpatialIndex, circles) -> DataFrame:
-    """circles: list of (circle_id, cx, cy, r) -> (circle_id, cnt).
+    """circles: (circle_id, c0..c{d-1}, r) — at d=2 the historical
+    (circle_id, cx, cy, r) — -> (circle_id, cnt).
 
-    Counts points with squared distance <= r² (range_count.hpp:99-131).
+    Counts points with squared distance <= r² (range_count.hpp:99-131);
+    d-generic: ball-vs-bbox min/max distance² over all dims.
     """
     spark = index.spark
-    arr = np.asarray(circles, dtype=np.int64).reshape(-1, 4)
-    cdf = spark.createDataFrame(pd.DataFrame(
-        {"circle_id": arr[:, 0], "cx": arr[:, 1], "cy": arr[:, 2],
-         "r": arr[:, 3]}))
-    # circle's bounding box drives the cell enumeration; the exact
-    # min-dist² <= r² test below refines it
+    d = len(index.coord_cols)
+    ctr_c = ["cx", "cy"] + [f"ctr{j}" for j in range(2, d)]
+    arr = np.asarray(circles, dtype=np.int64).reshape(-1, d + 2)
+    cols = {"circle_id": arr[:, 0]}
+    for j, c in enumerate(ctr_c):
+        cols[c] = arr[:, 1 + j]
+    cols["r"] = arr[:, d + 1]
+    cdf = spark.createDataFrame(pd.DataFrame(cols))
+    # circle's bounding box (grid dims) drives the cell enumeration;
+    # the exact full-d min-dist² <= r² test below refines it
     cdf = cdf.selectExpr("*", "cx - r AS bxlo", "cy - r AS bylo",
                          "cx + r AS bxhi", "cy + r AS byhi")
-    dx = F.greatest(F.col("xmin") - F.col("cx"), F.col("cx") - F.col("xmax"),
-                    F.lit(0))
-    dy = F.greatest(F.col("ymin") - F.col("cy"), F.col("cy") - F.col("ymax"),
-                    F.lit(0))
-    mind2 = dx * dx + dy * dy
-    fx = F.greatest(F.abs(F.col("cx") - F.col("xmin")),
-                    F.abs(F.col("cx") - F.col("xmax")))
-    fy = F.greatest(F.abs(F.col("cy") - F.col("ymin")),
-                    F.abs(F.col("cy") - F.col("ymax")))
-    maxd2 = fx * fx + fy * fy
+    slo, shi = _stats_cols(d)
+    mind2 = maxd2 = None
+    for c, sl, sh in zip(ctr_c, slo, shi):
+        nearc = F.greatest(F.col(sl) - F.col(c), F.col(c) - F.col(sh),
+                           F.lit(0))
+        farc = F.greatest(F.abs(F.col(c) - F.col(sl)),
+                          F.abs(F.col(c) - F.col(sh)))
+        mind2 = nearc * nearc if mind2 is None else mind2 + nearc * nearc
+        maxd2 = farc * farc if maxd2 is None else maxd2 + farc * farc
     r2 = F.col("r") * F.col("r")
     joined = _prune_join(index, cdf, len(circles), mind2 <= r2,
                          contained=maxd2 <= r2)
     pairs = joined.withColumn("full", maxd2 <= r2).select(
-        "circle_id", "cx", "cy", "r", "cell", "ccnt", "full", "maxsalt") \
+        "circle_id", *ctr_c, "r", "cell", "ccnt", "full", "maxsalt") \
         .localCheckpoint(eager=True)  # three consumers, compute once
     full_counts = (pairs.filter(F.col("full"))
                    .groupBy("circle_id").agg(F.sum("ccnt").alias("cnt")))
     bnd = pairs.filter(~F.col("full")).select(
-        "circle_id", "cx", "cy", "r", "cell", "maxsalt")
+        "circle_id", *ctr_c, "r", "cell", "maxsalt")
 
     def scan(key, cpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(cpdf) == 0 or len(ipdf) == 0:
             return pd.DataFrame(columns=["circle_id", "cnt"])
-        centers = cpdf[["cx", "cy"]].to_numpy(np.int64)
+        centers = cpdf[ctr_c].to_numpy(np.int64)
         radii = cpdf["r"].to_numpy(np.float64)
         part = np.zeros(len(cpdf), np.int64)
         for blob in ipdf["blob"]:
