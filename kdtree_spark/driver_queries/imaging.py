@@ -10,6 +10,8 @@ tests/test_images.py (PSNR, phash roundtrip, lossless codec).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,10 +100,35 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq, caption_md5
 FROM r WHERE rank <= 5"""
 
 
-# ------------------------------------------- pixel-dependent (rows-only)
+# ----------------------------------------------------- pixel-dependent
 
 def q_image_phash_dedup(spark, sf_dir) -> DataFrame:
+    """Near-duplicate images by phash Hamming <= 7 (multi-index join).
+
+    Oracled exactly: phash is a pure function of the caption text
+    (images.py content_seed/render_pixels/phash64), precomputed once
+    into fixtures_data/image_phash.parquet (scripts/gen_phash_fixture.py)
+    keyed by caption_md5, so DuckDB reproduces the join by brute-force
+    popcount over the fixture values."""
     return im.phash_pairs(get_images(spark, sf_dir), 7)
+
+
+_PHASH_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "fixtures_data",
+    "image_phash.parquet")
+
+SQL_IMAGE_PHASH_DEDUP = f"""
+WITH ph AS (
+  SELECT printf('img-%012d', d.doc_id) AS image_id, f.phash
+  FROM documents d
+  JOIN read_parquet('{_PHASH_FIXTURE}') f
+    ON md5(d.text) = f.caption_md5
+)
+SELECT a.image_id AS ia, b.image_id AS ib,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
 
 
 def q_image_decode_stats(spark, sf_dir) -> DataFrame:
@@ -182,7 +209,8 @@ QUERIES = {
 ORACLES = {
     "image_meta": SQL_IMAGE_META,
     "image_knn": SQL_IMAGE_KNN,
+    "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
     "media_meta": _sql_media_meta(),
-    # phash/decode/frame/PCM queries depend on payload bytes ->
-    # rows-only by design
+    # decode/frame/PCM queries depend on payload bytes -> rows-only by
+    # design (exactness asserted in tests/test_images.py, test_media.py)
 }

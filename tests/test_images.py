@@ -91,3 +91,20 @@ def test_phash_pairs_banding_lossless(spark, sf_dir):
     brute = {(a, b) for a in fps for b in fps if a < b
              and _ham(fps[a], fps[b]) <= 7}
     assert set(zip(got.ia, got.ib)) == brute
+
+
+def test_phash_fixture_no_drift(spark, sf_dir):
+    """fixtures_data/image_phash.parquet (the DuckDB oracle's phash
+    source, scripts/gen_phash_fixture.py) must equal freshly-computed
+    phashes — drift between the fixture and images.py fails here."""
+    import os
+    import pandas as pd
+    fx_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures_data",
+        "image_phash.parquet")
+    fx = pd.read_parquet(fx_path).set_index("caption_md5")["phash"]
+    imgs = (im.synth_images(spark, sf_dir).limit(60)
+            .selectExpr("md5(caption) AS m", "phash").toPandas())
+    assert len(imgs) == 60
+    for _, r in imgs.iterrows():
+        assert int(fx.loc[r.m]) == int(r.phash)
