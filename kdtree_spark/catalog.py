@@ -144,6 +144,7 @@ class SnapshotStore:
             "parent_id": parent,
             "operation": index.manifest.get("kind", "build"),
             "grid_g": index.grid.g,
+            "grid_dims": index.grid.dims,
             "coord_cols": list(index.coord_cols),
             "nbuckets": self.nb,
             "total_rows": int(row["t"] or 0),
@@ -188,6 +189,8 @@ class SnapshotStore:
         idx_manifest = dict(kind="load", snapshot_id=sid,
                             cells=man["cells"], grid_g=man["grid_g"],
                             version=sid[:8])
-        return SpatialIndex(spark, Grid(int(man["grid_g"])), df,
+        return SpatialIndex(spark,
+                            Grid(int(man["grid_g"]),
+                                 dims=int(man.get("grid_dims", 2))), df,
                             idx_manifest,
                             coord_cols=tuple(man["coord_cols"]))

@@ -23,6 +23,8 @@ from ..queries.polygon import (point_in_polygon, polygon_join_sql,
 from ..queries.ranges import circle_count, range_count, range_report
 
 GRID_G = 8  # fixed grid for driver queries: 64 cells, sf-independent
+GRID_G_3D = 4  # d>=3 indexes key cells on 3 dims: 4^3 = 64 cells, the
+# same cell budget as the 2-D Grid(8)
 
 BOXES = fixtures.gen_boxes(30)
 BOXES_SMALL = fixtures.gen_boxes(12)
@@ -380,8 +382,11 @@ def get_index_d3(spark, sf_dir) -> SpatialIndex:
             f"SELECT {points.PID_SQL} AS pid, {points.UNIFORM_X_SQL} AS x, "
             f"{points.UNIFORM_Y_SQL} AS y, {points.UNIFORM_Z_SQL} AS z "
             f"FROM _d3_lineitem")
+        # 3-D cell key (same ~64-cell budget as the 2-D Grid(8)): the
+        # candidate region prunes in three dims, not a z-degenerate two
         _INDEX_CACHE[key] = SpatialIndex.build(
-            spark, pts3, grid=Grid(GRID_G), coord_cols=("x", "y", "z"))
+            spark, pts3, grid=Grid(GRID_G_3D, dims=3),
+            coord_cols=("x", "y", "z"))
     return _INDEX_CACHE[key]
 
 
@@ -685,7 +690,8 @@ def get_index_d5(spark, sf_dir) -> SpatialIndex:
         pts5 = spark.sql(
             f"SELECT {points.d5_select_sql()} FROM _d5_lineitem")
         _INDEX_CACHE[key] = SpatialIndex.build(
-            spark, pts5, grid=Grid(GRID_G), coord_cols=points.D5_COLS)
+            spark, pts5, grid=Grid(GRID_G_3D, dims=3),
+            coord_cols=points.D5_COLS)
     return _INDEX_CACHE[key]
 
 
@@ -984,7 +990,8 @@ def get_index_d16(spark, sf_dir) -> SpatialIndex:
         pts16 = spark.sql(
             f"SELECT {points.dimd_select_sql(16)} FROM _d16_lineitem")
         _INDEX_CACHE[key] = SpatialIndex.build(
-            spark, pts16, grid=Grid(GRID_G), coord_cols=points.dim_cols(16))
+            spark, pts16, grid=Grid(GRID_G_3D, dims=3),
+            coord_cols=points.dim_cols(16))
     return _INDEX_CACHE[key]
 
 

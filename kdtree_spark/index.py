@@ -56,10 +56,14 @@ INDEX_SCHEMA_F64 = INDEX_SCHEMA.replace(
 
 PYRAMID_FACTOR = 4  # per-dim coarsening per stats-pyramid level
 
-SUPER_MAX_G = 64  # coarse-level grid is at most SUPER_MAX_G per dim, so
-# the super-cell stats table never exceeds 64x64 = 4096 rows — small
-# enough to broadcast for the sparse-query kNN fallback at ANY scale
-# (1.2e8 fine cells at the 1e12-row projection coarsen to these 4096)
+SUPER_MAX_CELLS = 4096  # super-cell stats table row cap: small enough
+# to broadcast for the sparse-query kNN fallback at ANY scale (1.2e8
+# fine cells at the 1e12-row projection coarsen to these 4096). The
+# per-dim cap follows from the grid's dims: 64 for 2-D, 16 for 3-D.
+
+
+def _super_max_g(dims: int) -> int:
+    return max(1, int(SUPER_MAX_CELLS ** (1.0 / dims)))
 
 STATS_COLS = ["cell", "salt", "cnt", "nextra", "ntomb", "depth",
               "xmin", "ymin", "xmax", "ymax"]
@@ -173,19 +177,23 @@ class SpatialIndex:
         t0 = time.time()
         n = n_hint if n_hint is not None else points.count()
         grid = grid or Grid.for_count(n)
+        assert grid.dims <= len(coord_cols), (grid.dims, coord_cols)
         from pyspark.sql.types import DoubleType, FloatType
         fmode = isinstance(points.schema[coord_cols[0]].dataType,
                            (DoubleType, FloatType))
+        cols = list(coord_cols)
         if fmode:
             cexprs = [f"CAST({c} AS double) AS {c}" for c in coord_cols]
-            cell_sql = grid.spark_cell_sql_f64(coord_cols[0], coord_cols[1])
+            cell_sql = grid.spark_cell_sql_f64_nd(cols)
         else:
             # int32 coords/cell through the shuffle + Arrow hop (coords
-            # are < 1e6, cell < g^2 < 2^31): 1/3 fewer bytes on the hot path
+            # are < 1e6, cell < g^dims < 2^31): 1/3 fewer bytes on the
+            # hot path
             cexprs = [f"CAST({c} AS int) AS {c}" for c in coord_cols]
-            cell_sql = grid.spark_cell_sql(coord_cols[0], coord_cols[1])
+            cell_sql = grid.spark_cell_sql_nd(cols)
+        cell_t = "int" if grid.g ** grid.dims < 2 ** 31 else "long"
         pts = points.selectExpr(
-            "pid", *cexprs, f"CAST({cell_sql} AS int) AS cell")
+            "pid", *cexprs, f"CAST({cell_sql} AS {cell_t}) AS cell")
 
         # salting plan from per-cell counts (the sampled-pivot round's
         # analogue: one cheap agg instead of a sample)
@@ -208,7 +216,8 @@ class SpatialIndex:
         # the blob side on each query (exchange reuse across jobs)
         df = built.repartition("cell").cache()
         ncells = df.count()  # materialize
-        manifest = dict(kind="build", n=n, grid_g=grid.g, cells=ncells,
+        manifest = dict(kind="build", n=n, grid_g=grid.g,
+                        grid_dims=grid.dims, cells=ncells,
                         wall_sec=time.time() - t0,
                         coord_cols=list(coord_cols),
                         version=str(uuid.uuid4())[:8])
@@ -217,9 +226,15 @@ class SpatialIndex:
         return idx
 
     def cell_sql(self, x: str, y: str) -> str:
-        """Grid-cell SQL matching this index's coordinate mode."""
-        return (self.grid.spark_cell_sql_f64(x, y) if self.float_coords
-                else self.grid.spark_cell_sql(x, y))
+        """Grid-cell SQL matching this index's coordinate mode (2-D
+        grids; d>2 coord columns beyond the grid dims are ignored)."""
+        return self.cell_sql_nd([x, y])
+
+    def cell_sql_nd(self, cols) -> str:
+        """Grid-cell SQL over coordinate column names (first grid.dims
+        are keyed), matching this index's coordinate mode."""
+        return (self.grid.spark_cell_sql_f64_nd(cols) if self.float_coords
+                else self.grid.spark_cell_sql_nd(cols))
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> pd.DataFrame:
@@ -295,11 +310,10 @@ class SpatialIndex:
             levels = []
             cur = self.cell_stats()
             curg, curw = self.grid.g, self.grid.cw
-            while curg > SUPER_MAX_G:
+            while curg > _super_max_g(self.grid.dims):
                 ng = (curg + F_ - 1) // F_
                 parent = F.expr(
-                    f"(cell DIV {curg} DIV {F_}) * {ng}"
-                    f" + (cell % {curg}) DIV {F_}")
+                    self.grid.parent_cell_sql("cell", curg, F_, ng))
                 aggs = [F.sum("ccnt").alias("ccnt"),
                         F.min("xmin").alias("xmin"),
                         F.min("ymin").alias("ymin"),
@@ -319,10 +333,11 @@ class SpatialIndex:
         return self._pyramid
 
     def super_grid(self) -> tuple:
-        """(S, sg): fine cells coarsen by S per dim into an sg x sg
-        super grid with sg <= SUPER_MAX_G (so <= 4096 super cells)."""
+        """(S, sg): fine cells coarsen by S per dim into an sg-per-dim
+        super grid with sg^dims <= SUPER_MAX_CELLS (<= 4096 rows)."""
         g = self.grid.g
-        S = (g + SUPER_MAX_G - 1) // SUPER_MAX_G
+        smax = _super_max_g(self.grid.dims)
+        S = (g + smax - 1) // smax
         sg = (g + S - 1) // S
         return S, sg
 
@@ -340,8 +355,7 @@ class SpatialIndex:
             g = self.grid.g
             S, sg = self.super_grid()
             cs = self.cell_stats()
-            scell = F.expr(
-                f"(cell DIV {g} DIV {S}) * {sg} + (cell % {g}) DIV {S}")
+            scell = F.expr(self.grid.parent_cell_sql("cell", g, S, sg))
             aggs = [F.sum("ccnt").alias("ccnt"),
                     F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
                     F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax")]
@@ -391,7 +405,7 @@ class SpatialIndex:
         cc = list(self.coord_cols)
         cdt = np.float64 if self.float_coords else np.int64
         schema = INDEX_SCHEMA_F64 if self.float_coords else INDEX_SCHEMA
-        cell_sql = self.cell_sql(cc[0], cc[1])
+        cell_sql = self.cell_sql_nd(cc)
         parts = []
         if inserts is not None:
             parts.append(inserts.selectExpr(
@@ -576,6 +590,7 @@ class SpatialIndex:
         audit["cells"] = int(row["c"])
         audit["max_depth"] = int(row["d"] or 0)
         audit["grid_g"] = self.grid.g
+        audit["grid_dims"] = self.grid.dims
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(audit, f, indent=1)
         # audit: re-read row count matches
@@ -593,7 +608,9 @@ class SpatialIndex:
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
         df = spark.read.parquet(os.path.join(path, "index"))
-        return cls(spark, Grid(int(manifest["grid_g"])), df, manifest,
+        grid = Grid(int(manifest["grid_g"]),
+                    dims=int(manifest.get("grid_dims", 2)))
+        return cls(spark, grid, df, manifest,
                    coord_cols=tuple(manifest.get("coord_cols", ["x", "y"])))
 
     # ------------------------------------------------------------ validation

@@ -160,7 +160,7 @@ def _seed_bound(index: SpatialIndex, queries: DataFrame, cc: list, k: int
     cdt = _cdt(index)
     coord_schema = _coord_schema(index, cc)
     home = queries.selectExpr(
-        "qid", *cc, f"{index.cell_sql(cc[0], cc[1])} AS cell")
+        "qid", *cc, f"{index.cell_sql_nd(cc)} AS cell")
     probes = index.probes().join(
         F.broadcast(home.select("cell").distinct()), "cell", "semi")
 
@@ -227,22 +227,22 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
                      coord_schema: str, k: int) -> DataFrame:
     """Phase 2: (qid, coords, ub, cell, maxsalt) candidate pairs.
 
-    Per query, enumerate grid cells in the square of half-width
-    floor(sqrt(ub))+1 around the query point (regular grid => pure
-    arithmetic, no metadata needed), then equi-join on `cell` with the
-    cell-stats table to (a) drop empty cells and (b) keep only cells
-    whose data-bbox min-dist² <= ub — the same <= test the reference's
-    p2b_min_distance makes, so equal-distance candidates survive for the
-    (dist, id) tie-break. Queries whose square exceeds ENUM_CAP cells
-    (or ub = inf: the index holds < k points) emit a sentinel
-    (cell = -1) and broadcast-join the <= 4096-row super-cell stats
-    instead: super cells within ub explode into their S x S fine
-    children, which the fine stats join then prunes — work scales with
-    the query's true candidate region, never with total cell count.
+    Per query, enumerate grid cells in the cube of half-width
+    floor(sqrt(ub))+1 around the query point over all grid.dims gridded
+    dims (regular grid => pure arithmetic, no metadata needed), then
+    equi-join on `cell` with the cell-stats table to (a) drop empty
+    cells and (b) keep only cells whose data-bbox min-dist² <= ub — the
+    same <= test the reference's p2b_min_distance makes, so
+    equal-distance candidates survive for the (dist, id) tie-break.
+    Queries whose cube exceeds ENUM_CAP cells (or ub = inf: the index
+    holds < k points) emit a sentinel (cell = -1) and broadcast-join
+    the <= 4096-row super-cell stats instead: super cells within ub
+    explode into their S^dims fine children, which the fine stats join
+    then prunes — work scales with the query's true candidate region,
+    never with total cell count.
     """
     grid = index.grid
-    g, cw = grid.g, grid.cw
-    xcol, ycol = cc[0], cc[1]
+    g, cw, gd = grid.g, grid.cw, grid.dims
     cdt = _cdt(index)
     fmode = index.float_coords
 
@@ -251,8 +251,7 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
             n = len(pdf)
             if n == 0:
                 continue
-            qx = pdf[xcol].to_numpy(cdt)
-            qy = pdf[ycol].to_numpy(cdt)
+            q = [pdf[cc[j]].to_numpy(cdt) for j in range(gd)]
             ub = pdf["ub"].to_numpy(np.float64)
             finite = np.isfinite(ub)
             if fmode:
@@ -260,35 +259,40 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
                 # assignment formula (grid.spark_cell_sql_f64)
                 r = np.zeros(n)
                 r[finite] = np.sqrt(ub[finite]) + 1.0
-                cx0 = np.clip(np.floor((qx - r) / cw), 0, g - 1).astype(np.int64)
-                cx1 = np.clip(np.floor((qx + r) / cw), 0, g - 1).astype(np.int64)
-                cy0 = np.clip(np.floor((qy - r) / cw), 0, g - 1).astype(np.int64)
-                cy1 = np.clip(np.floor((qy + r) / cw), 0, g - 1).astype(np.int64)
+                c0 = [np.clip(np.floor((qj - r) / cw), 0, g - 1)
+                      .astype(np.int64) for qj in q]
+                c1 = [np.clip(np.floor((qj + r) / cw), 0, g - 1)
+                      .astype(np.int64) for qj in q]
             else:
                 # +1 guards the (theoretical) downward rounding of sqrt
                 # at the boundary; over-coverage is corrected by the
                 # bbox join
                 r = np.zeros(n, np.int64)
                 r[finite] = np.floor(np.sqrt(ub[finite])).astype(np.int64) + 1
-                cx0 = np.clip((qx - r) // cw, 0, g - 1)
-                cx1 = np.clip((qx + r) // cw, 0, g - 1)
-                cy0 = np.clip((qy - r) // cw, 0, g - 1)
-                cy1 = np.clip((qy + r) // cw, 0, g - 1)
-            nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
-            ncand = nx * ny
+                c0 = [np.clip((qj - r) // cw, 0, g - 1) for qj in q]
+                c1 = [np.clip((qj + r) // cw, 0, g - 1) for qj in q]
+            nper = [h - l + 1 for l, h in zip(c0, c1)]
+            ncand = nper[0].copy()
+            for nj in nper[1:]:
+                ncand *= nj
             small = finite & (ncand <= ENUM_CAP)
             idx = np.flatnonzero(small)
             counts = ncand[idx]
             total = int(counts.sum())
-            # flat enumeration of each query's (cx0..cx1)x(cy0..cy1) block
+            # flat row-major enumeration of each query's per-dim block
             qrep = np.repeat(idx, counts)
             starts = np.zeros(len(idx), np.int64)
             if len(idx):
                 starts[1:] = np.cumsum(counts)[:-1]
             within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-            nyr = np.repeat(ny[idx], counts)
-            cells = ((within // nyr + np.repeat(cx0[idx], counts)) * g
-                     + within % nyr + np.repeat(cy0[idx], counts))
+            # mixed-radix decode, last dim fastest (row-major id)
+            cells = np.zeros(total, np.int64)
+            rem = within
+            for j in range(gd - 1, -1, -1):
+                nj = np.repeat(nper[j][idx], counts)
+                cj = rem % nj + np.repeat(c0[j][idx], counts)
+                rem = rem // nj
+                cells += cj * (g ** (gd - 1 - j))
             big = np.flatnonzero(~small)
             rows_i = np.concatenate([qrep, big])
             cellcol = np.concatenate([cells, np.full(len(big), -1, np.int64)])
@@ -318,16 +322,16 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
     fsup = (far.crossJoin(F.broadcast(sup))
             .filter(mind2_s <= F.col("ub"))
             .select("qid", *cc, "ub", "scell"))
-    children = (fsup
-                .selectExpr(
-                    "*",
-                    f"explode(sequence(scell DIV {sg} * {S}, "
-                    f"LEAST(scell DIV {sg} * {S} + {S - 1}, {g - 1}))) AS _cx")
-                .selectExpr(
-                    "*",
-                    f"explode(sequence(scell % {sg} * {S}, "
-                    f"LEAST(scell % {sg} * {S} + {S - 1}, {g - 1}))) AS _cy")
-                .selectExpr("qid", *cc, "ub", f"_cx * {g} + _cy AS cell"))
+    children = fsup
+    child_cols = []
+    for j, (lo, hi) in enumerate(
+            index.grid.child_ranges_sql("scell", sg, S, g)):
+        children = children.selectExpr(
+            "*", f"explode(sequence({lo}, {hi})) AS _c{j}")
+        child_cols.append(f"_c{j}")
+    children = children.selectExpr(
+        "qid", *cc, "ub",
+        f"{index.grid.compose_sql(child_cols)} AS cell")
     far_out = (children.join(stats, "cell")
                .filter(mind2 <= F.col("ub")).select(*keep))
     return near_out.unionByName(far_out)

@@ -42,6 +42,7 @@ def point_in_polygon(points: DataFrame, polygons,
     stored cell-partitioned)."""
     spark = points.sparkSession
     grid = grid or Grid(8)
+    assert grid.dims == 2, "point_in_polygon is planar (2-D grids only)"
     rows = []
     for poly_id, verts in polygons:
         x0, y0, x1, y1 = polygon_bbox(verts)

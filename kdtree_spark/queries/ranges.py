@@ -113,8 +113,7 @@ def _cell_stats_df(index: SpatialIndex) -> DataFrame:
 
 
 def _prune_join(index: SpatialIndex, qdf: DataFrame, n_queries: int,
-                cond, ext=("bxlo", "bylo", "bxhi", "byhi"),
-                contained=None) -> DataFrame:
+                cond, ext=None, contained=None) -> DataFrame:
     """query-shapes ⋈ cell-stats, pruned hierarchically.
 
     Small grids (g <= 64): each shape geometrically enumerates the fine
@@ -139,11 +138,17 @@ def _prune_join(index: SpatialIndex, qdf: DataFrame, n_queries: int,
     nodes recursion (range_count.hpp:9-96) over the distributed grid.
 
     Assumes the index's domain contract: coords in [0, COORD_LIMIT)
-    (grid.py docstring), so every populated cell id lies in [0, g²-1]
-    and clipped enumeration misses nothing."""
+    (grid.py docstring), so every populated cell id lies in
+    [0, g^dims - 1] and clipped enumeration misses nothing.
+
+    ext: per-gridded-dim (lo_col, hi_col) column names of the query
+    shape's extent; defaults to the box columns of the grid's dims."""
     from ..index import PYRAMID_FACTOR
     grid = index.grid
-    xlo, ylo, xhi, yhi = ext
+    gd = grid.dims
+    if ext is None:
+        blo, bhi = _box_cols(gd)
+        ext = list(zip(blo, bhi))
     par = index.spark.sparkContext.defaultParallelism
     if n_queries > 4 * par:
         qdf = qdf.repartition(par)
@@ -151,13 +156,14 @@ def _prune_join(index: SpatialIndex, qdf: DataFrame, n_queries: int,
     def enum_top(df, g, cw):
         def clip(c):  # monotone clip => lo<=hi survives, seq ascends
             return f"LEAST(GREATEST({c} DIV {cw}, 0), {g - 1})"
-        return (df
-                .selectExpr("*",
-                            f"explode(sequence({clip(xlo)}, {clip(xhi)})) AS _cx")
-                .selectExpr("*",
-                            f"explode(sequence({clip(ylo)}, {clip(yhi)})) AS _cy")
-                .selectExpr("*", f"_cx * {g} + _cy AS cell")
-                .drop("_cx", "_cy"))
+        cols = []
+        for j, (lo, hi) in enumerate(ext):
+            df = df.selectExpr(
+                "*",
+                f"explode(sequence({clip(lo)}, {clip(hi)})) AS _c{j}")
+            cols.append(f"_c{j}")
+        return (df.selectExpr("*", f"{grid.compose_sql(cols, g)} AS cell")
+                .drop(*cols))
 
     levels = index.stats_pyramid()  # fine+1 .. coarsest
     if not levels:
@@ -176,20 +182,17 @@ def _prune_join(index: SpatialIndex, qdf: DataFrame, n_queries: int,
             j = j.filter(~contained)
         childg = walk[i + 1][0] if i + 1 < len(walk) else grid.g
         fac = PYRAMID_FACTOR
-        frontier = (j.select(*qcols, "cell")
+        frontier = j.select(*qcols, "cell")
+        ccols = []
+        for cj, (lo, hi) in enumerate(
+                grid.child_ranges_sql("cell", lg, fac, childg)):
+            frontier = frontier.selectExpr(
+                "*", f"explode(sequence({lo}, {hi})) AS _c{cj}")
+            ccols.append(f"_c{cj}")
+        frontier = (frontier.drop("cell")
                     .selectExpr(
-                        "*",
-                        f"explode(sequence(cell DIV {lg} * {fac}, "
-                        f"LEAST(cell DIV {lg} * {fac} + {fac - 1}, "
-                        f"{childg - 1}))) AS _cx")
-                    .selectExpr(
-                        "*",
-                        f"explode(sequence(cell % {lg} * {fac}, "
-                        f"LEAST(cell % {lg} * {fac} + {fac - 1}, "
-                        f"{childg - 1}))) AS _cy")
-                    .drop("cell")
-                    .selectExpr("*", f"_cx * {childg} + _cy AS cell")
-                    .drop("_cx", "_cy"))
+                        "*", f"{grid.compose_sql(ccols, childg)} AS cell")
+                    .drop(*ccols))
     out = frontier.join(_cell_stats_df(index), "cell").filter(cond)
     for e in emitted:
         out = out.unionByName(e.select(*out.columns))
@@ -303,8 +306,11 @@ def circle_count(index: SpatialIndex, circles) -> DataFrame:
     cdf = spark.createDataFrame(pd.DataFrame(cols))
     # circle's bounding box (grid dims) drives the cell enumeration;
     # the exact full-d min-dist² <= r² test below refines it
-    cdf = cdf.selectExpr("*", "cx - r AS bxlo", "cy - r AS bylo",
-                         "cx + r AS bxhi", "cy + r AS byhi")
+    gd = index.grid.dims
+    blo, bhi = _box_cols(gd)
+    cdf = cdf.selectExpr(
+        "*", *[f"{ctr_c[j]} - r AS {blo[j]}" for j in range(gd)],
+        *[f"{ctr_c[j]} + r AS {bhi[j]}" for j in range(gd)])
     slo, shi = _stats_cols(d)
     mind2 = maxd2 = None
     for c, sl, sh in zip(ctr_c, slo, shi):
