@@ -175,6 +175,39 @@ def main() -> None:
         elif name in ("range_count", "circle_count"):
             extras[f"{name}_q_per_sec"] = round(cnt / timings[name], 1)
 
+    # -- sf1-scale leg (~6M rows, 10x the suite's sf0.1): build + kNN +
+    # 10k-rect range count over synthetic points (points.synth_points —
+    # same scramble family, generated distributedly). Reported under
+    # extras only, NOT in `value`, so round-over-round suite walls stay
+    # comparable; this leg is the larger-n signal that the 600k-row
+    # suite's noise band can't provide.
+    if args.queries is None:
+        from kdtree_spark import fixtures
+        from kdtree_spark.queries.ranges import range_count
+        n1 = 6_000_000
+        p1 = points.synth_points(spark, n1, parts=args.cpus)
+        t0 = time.time()
+        idx1 = SpatialIndex.build(spark, p1, grid=Grid.for_count(n1),
+                                  n_hint=n1)
+        extras["sf1_rows"] = n1
+        extras["sf1_grid_g"] = idx1.grid.g
+        extras["sf1_build_sec"] = round(time.time() - t0, 3)
+        extras["sf1_build_rows_per_sec"] = round(
+            n1 / extras["sf1_build_sec"], 1)
+        q1 = (points.synth_points(spark, n1 // 100, parts=args.cpus)
+              .selectExpr("pid AS qid", "x", "y"))
+        t0 = time.time()
+        knn_join(idx1, q1, 10).count()
+        extras["sf1_knn_k10_sec"] = round(time.time() - t0, 3)
+        extras["sf1_knn_k10_q_per_sec"] = round(
+            (n1 // 100) / extras["sf1_knn_k10_sec"], 1)
+        t0 = time.time()
+        range_count(idx1, fixtures.gen_boxes_bulk(10_000)).count()
+        extras["sf1_range_count_10k_sec"] = round(time.time() - t0, 3)
+        extras["sf1_range_10k_q_per_sec"] = round(
+            10_000 / extras["sf1_range_count_10k_sec"], 1)
+        idx1.unpersist()
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_wall_sec",

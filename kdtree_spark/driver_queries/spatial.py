@@ -689,8 +689,12 @@ def get_index_d5(spark, sf_dir) -> SpatialIndex:
         li.createOrReplaceTempView("_d5_lineitem")
         pts5 = spark.sql(
             f"SELECT {points.d5_select_sql()} FROM _d5_lineitem")
+        # 4-D cell key, 3^4 = 81 cells (~the 64-cell budget): measured
+        # sweep at sf0.1 — (4,3)=4.34, (3,4)=3.74, (2,5)=2.85 candidate
+        # cells/query; (3,4) meets the <4 target with 81-cell
+        # parallelism and the fastest kNN wall of the >=64-cell options
         _INDEX_CACHE[key] = SpatialIndex.build(
-            spark, pts5, grid=Grid(GRID_G_3D, dims=3),
+            spark, pts5, grid=Grid(3, dims=4),
             coord_cols=points.D5_COLS)
     return _INDEX_CACHE[key]
 

@@ -245,3 +245,33 @@ def sweep_delete_sql(table: str, step: int) -> str:
 
 # probe set for the H9 interleaved build-and-query workload (~0.1%)
 PROBE_FILTER_SQL = f"({PID_SQL} % 1009 = 7)"
+
+
+# -- arbitrary-n synthetic points (bench scale legs) --------------------------
+# The driver's parquet stops at sf0.1 (~600k lineitem rows); larger-n
+# benchmark legs synthesize points distributedly from spark.range with
+# the SAME multiplicative-scramble family (deterministic, no data files,
+# generated in parallel at any n — the same recipe would emit 10^12 rows
+# across a cluster). Bench-only: correctness gates stay on the shared
+# parquet + DuckDB oracle.
+
+def synth_points(spark: SparkSession, n: int, dist: str = "uniform",
+                 parts: int | None = None) -> DataFrame:
+    pid = "(id * 2654435761 + 40503)"  # injective over [0, n); < 2^63
+    if dist == "uniform":
+        x = f"((({pid} % 1000003) * 7919) % 1000000)"
+        y = f"((({pid} % 999983) * 104729) % 1000000)"
+    elif dist == "varden":
+        cl = "(id % 64)"
+        sig = (f"(CASE WHEN {cl} % 3 = 0 THEN 100 "
+               f"WHEN {cl} % 3 = 1 THEN 10000 ELSE 200000 END)")
+        cx = f"(({cl} * 2654435761) % 1000000)"
+        cy = f"(({cl} * 2246822519) % 1000000)"
+        x = (f"GREATEST(0, LEAST(999999, {cx} + "
+             f"(({pid} % (2 * {sig} + 1)) - {sig})))")
+        y = (f"GREATEST(0, LEAST(999999, {cy} + "
+             f"((({pid} % 999983) % (2 * {sig} + 1)) - {sig})))")
+    else:
+        raise ValueError(dist)
+    rng = (spark.range(0, n, 1, parts) if parts else spark.range(n))
+    return rng.selectExpr(f"{pid} AS pid", f"{x} AS x", f"{y} AS y")

@@ -308,7 +308,10 @@ def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
     stats = index.cell_stats()
     slo, shi = _super_cols(cc)
     mind2, _ = _bbox_exprs(cc, slo, shi)  # fine stats share these names
-    keep = ["qid", *cc, "ub", "cell", "maxsalt"]
+    # mind2 rides along so phase 3 can re-prune sibling cells against
+    # the exact kth distance of the home-cell scan (home-first order)
+    keep = ["qid", *cc, "ub", "cell", "maxsalt",
+            mind2.alias("mind2")]
 
     near_out = (enum.filter(F.col("cell") >= 0).join(stats, "cell")
                 .filter(mind2 <= F.col("ub")).select(*keep))
@@ -366,45 +369,15 @@ def _pruned_blob_sides(index: SpatialIndex, cand: DataFrame):
     return cold, hot, cold_blobs, hblobs
 
 
-def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
-    """queries: (qid long, <coord cols> long) -> (qid, rank, nid, dist_sq).
+def _cell_knn_maker(cc: list, cdt, k: int):
+    """Phase-3 kernel factory shared by knn_join / knn_scan_stats.
 
-    d >= 2 supported: distances use all coord dims; the cell-level bbox
-    pruning (phase 2) uses only the two grid dims — a lower bound on the
-    full-d distance, so exactness is preserved for any d."""
-    cc = list(index.coord_cols)
-    # the cold/hot split and the blob semi-joins consume the candidate
-    # set several times; checkpoint the (small, O(queries x
-    # cells-per-query)) candidates so phases 1+2 run once, not once per
-    # consumer (blocks are freed by the ContextCleaner once the result
-    # is no longer referenced)
-    cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
-    # single-cell bypass: with tight seed bounds most queries (~85% on
-    # uniform data) have exactly ONE candidate cell, so their per-cell
-    # top-k IS the final answer — phase 3 emits their ranks directly
-    # (fin=true) and phase 4's window sorts only the multi-cell
-    # minority. Counting cells per query is one metadata agg + join on
-    # the checkpointed candidates, far cheaper than windowing all rows.
-    if _BYPASS:
-        nc = cand.groupBy("qid").agg(F.count("*").alias("_nc"))
-        cand = cand.join(nc, "qid")
-
-    # ---- phase 3: per-cell local top-k with ub pruning; hot (salted)
-    # cells fan out to one task per blob (cogroup on (cell, salt)) so
-    # varden-style clustering can't serialize a cell's queries on one
-    # task — the per-blob searches lose cross-blob bound tightening,
-    # which phase 4's exact merge absorbs (a salted cell's queries are
-    # split across blobs, so its rows are always fin=false)
-    cdt = _cdt(index)
-
+    allow_fin=True on cold (one group per cell) cogroups: their kernel
+    ranks are exact within the group, so rows are bypass-eligible when
+    the optional per-row `_fin` input column agrees (absent = True).
+    Hot (per-blob) groups never emit fin rows. Cold groups also force
+    the per-blob block-scan bound tighten (see knn_join comments)."""
     def make_cell_knn(allow_fin: bool):
-        # cold (unsalted) groups force the per-blob block-scan tighten:
-        # the probe-sample seed is loose by ~(cell/sample)^(1/d) in
-        # radius, and one ~max(2k,128)-pt scan of the blob's own points
-        # recovers the r2 blob-seeded bound quality without shipping
-        # blobs in phase 1. Hot (salted) groups keep the size heuristic
-        # — replicated queries made the unconditional scan a 3x
-        # regression on varden.
         def cell_knn(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
                      ) -> pd.DataFrame:
             if len(qpdf) == 0 or len(ipdf) == 0:
@@ -417,8 +390,12 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
             m = len(qpdf)
             qid = np.repeat(qpdf["qid"].to_numpy(np.int64), k)
             rank = np.tile(np.arange(1, k + 1, dtype=np.int32), m)
-            fin = (np.repeat(qpdf["_nc"].to_numpy(np.int64) == 1, k)
-                   if allow_fin and _BYPASS else np.zeros(m * k, bool))
+            if allow_fin and _BYPASS:
+                row_fin = (qpdf["_fin"].to_numpy(bool)
+                           if "_fin" in qpdf.columns else np.ones(m, bool))
+            else:
+                row_fin = np.zeros(m, bool)
+            fin = np.repeat(row_fin, k)
             dd = d.ravel()
             ii = i.ravel()
             ok = np.isfinite(dd)
@@ -426,33 +403,131 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
                                  "dist_sq": dd[ok], "rank": rank[ok],
                                  "fin": fin[ok]})
         return cell_knn
+    return make_cell_knn
 
+
+def _scan_local(index: SpatialIndex, pairs: DataFrame, kernel_maker,
+                out_schema: str) -> DataFrame:
+    """Run a phase-3 cogroup over candidate (query, cell) pairs: cold
+    cells one group each (kernel allow_fin=True), hot (salted) cells
+    one task per blob so varden-style clustering can't serialize a
+    cell's queries on one task — per-blob searches lose cross-blob
+    bound tightening, which the exact merge absorbs (hot rows are
+    always fin=false)."""
+    cold, hot, cold_blobs, hblobs = _pruned_blob_sides(index, pairs)
+    return (cold.groupby("cell")
+            .cogroup(cold_blobs.groupby("cell"))
+            .applyInPandas(kernel_maker(True), out_schema)
+            .unionByName(
+                hot.groupby("cell", "salt")
+                .cogroup(hblobs.groupby("cell", "salt"))
+                .applyInPandas(kernel_maker(False), out_schema)))
+
+
+_HOME_FIRST = os.environ.get("KDS_KNN_HOME_FIRST", "0") != "0"
+# Two-stage home-first scan order (A/B instrument; OFF by default).
+# Measured at sf0.1/Grid(8) d2, sf0.1/Grid(3,dims=4) d5 and 6M-row
+# Grid(28): scanned pts/query drops 13-27% (353->306 d2, 3731->2714
+# d5, 541->469 6M) but wall time RISES 15-25% every time — with ~8k-pt
+# blobs the numpy scan a sibling cell costs is cheaper than the extra
+# cogroup barrier + kth join the re-prune needs. The reference's
+# nearer-child-first order (nn_search.hpp:107-125) pays off in a
+# shared-memory pointer walk; in a distributed barrier model it only
+# wins when per-cell scan cost >> stage latency (huge blobs or very
+# expensive metrics) — flip on for those deployments.
+
+
+def _home_split(index: SpatialIndex, cand: DataFrame, cc: list):
+    """(home_pairs, sibling_pairs): a candidate pair is `home` when its
+    cell is the query's own grid cell — the distributed analogue of the
+    reference's nearer-child-first descent order (nn_search.hpp:107-125:
+    the child containing the query is searched before the sibling)."""
+    is_home = F.expr(f"cell = {index.cell_sql_nd(cc)}")
+    return cand.filter(is_home), cand.filter(~is_home)
+
+
+def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
+    """queries: (qid long, <coord cols> long) -> (qid, rank, nid, dist_sq).
+
+    d >= 2 supported: distances use all coord dims; the cell-level bbox
+    pruning (phase 2) uses only the grid dims — a lower bound on the
+    full-d distance, so exactness is preserved for any d.
+
+    Phase 3 default: all candidate cells scan concurrently in ONE
+    cogroup round; queries with a single candidate cell (~85% on
+    uniform data) take their kernel-emitted ranks and skip the merge
+    window. KDS_KNN_HOME_FIRST=1 switches to a two-stage home-first
+    order (reference parity with nn_search.hpp's nearer-child-first
+    descent): stage A scans only each query's home cell, the exact kth
+    distance² of that scan re-prunes sibling pairs (mind2 <=
+    least(ub, kth), `<=` so equal-distance candidates survive the
+    (dist, id) tie-break), stage B scans survivors only. Measured
+    (see _HOME_FIRST): scans/query drop 13-27% but the extra barrier
+    costs more wall than the scans it saves at the ~8k-pt blob sizing
+    — off unless per-cell scan cost dwarfs stage latency."""
+    cc = list(index.coord_cols)
+    # the cold/hot split and the blob semi-joins consume the candidate
+    # set several times; checkpoint the (small, O(queries x
+    # cells-per-query)) candidates so phases 1+2 run once, not once per
+    # consumer (blocks are freed by the ContextCleaner once the result
+    # is no longer referenced)
+    cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
+    cdt = _cdt(index)
+    maker = _cell_knn_maker(cc, cdt, k)
     out_schema = "qid long, nid long, dist_sq double, rank int, fin boolean"
-    cold, hot, cold_blobs, hblobs = _pruned_blob_sides(index, cand)
-    # the fin/~fin split below consumes this twice; checkpoint so the
-    # cogroups (and their blob Arrow feed) execute exactly once
-    local = (cold.groupby("cell")
-             .cogroup(cold_blobs.groupby("cell"))
-             .applyInPandas(make_cell_knn(True), out_schema)
-             .unionByName(
-                 hot.groupby("cell", "salt")
-                 .cogroup(hblobs.groupby("cell", "salt"))
-                 .applyInPandas(make_cell_knn(False), out_schema))
-             .localCheckpoint(eager=False))
 
-    # ---- phase 4: global exact top-k over the multi-cell minority;
-    # single-cell rows keep their locally-emitted rank (same
-    # (dist², nid) order, computed in the kernel). Integer mode emits
-    # BIGINT distances (exact, hash-stable vs the oracle); float mode
-    # keeps the IEEE double — bit-identical to DuckDB's same-op-order
-    # arithmetic on the same doubles.
     w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(),
                                           F.col("nid").asc())
     dist = (F.col("dist_sq") if index.float_coords
             else F.col("dist_sq").cast("long"))
-    done = local.filter(F.col("fin"))
-    merged = (local.filter(~F.col("fin"))
-              .withColumn("rank", F.row_number().over(w))
+
+    if not _HOME_FIRST:
+        # single-stage: all candidate cells scan concurrently; bypass
+        # queries with exactly one candidate cell (kernel-final ranks)
+        nc = cand.groupBy("qid").agg(F.count("*").alias("_nc"))
+        canded = (cand.join(nc, "qid")
+                  .withColumn("_fin", F.col("_nc") == 1).drop("_nc"))
+        local = _scan_local(index, canded, maker, out_schema) \
+            .localCheckpoint(eager=False)
+        done = local.filter(F.col("fin"))
+        merged = (local.filter(~F.col("fin"))
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+        return (done.unionByName(merged)
+                .select("qid", "rank", "nid", dist.alias("dist_sq")))
+
+    home, sibs = _home_split(index, cand, cc)
+    # ---- stage A: home cells only
+    localA = _scan_local(index, home, maker, out_schema) \
+        .localCheckpoint(eager=False)
+    # exact kth distance² from cold (single-group) home scans: the k-th
+    # row's dist IS the kth-best among the home cell's live points.
+    # Salted-home queries contribute no kth (their per-blob ranks
+    # overlap) and fall back to the phase-1 ub — they are the dense
+    # minority where sibling cells rarely survive mind2 <= ub anyway.
+    kth = (localA.filter(F.col("fin") & (F.col("rank") == k))
+           .select("qid", F.col("dist_sq").alias("kth")))
+    # ---- stage B: siblings that survive the tightened bound
+    sibs2 = (sibs.join(kth, "qid", "left")
+             .filter(F.col("mind2")
+                     <= F.least(F.col("ub"),
+                                F.coalesce(F.col("kth"),
+                                           F.lit(float("inf")))))
+             .withColumn("ub", F.least(F.col("ub"),
+                                       F.coalesce(F.col("kth"),
+                                                  F.lit(float("inf")))))
+             .drop("kth")
+             .withColumn("_fin", F.lit(False))
+             .localCheckpoint(eager=False))
+    localB = _scan_local(index, sibs2, maker, out_schema)
+    # queries with NO surviving sibling AND a single-group home scan
+    # keep their kernel ranks; everything else merges exactly
+    bq = sibs2.select("qid").distinct()
+    done = localA.filter(F.col("fin")).join(bq, "qid", "anti")
+    rest = (localA.filter(F.col("fin")).join(bq, "qid", "semi")
+            .unionByName(localA.filter(~F.col("fin")))
+            .unionByName(localB))
+    merged = (rest.withColumn("rank", F.row_number().over(w))
               .filter(F.col("rank") <= k))
     return (done.unionByName(merged)
             .select("qid", "rank", "nid", dist.alias("dist_sq")))
@@ -492,33 +567,53 @@ def knn_scan_stats(index: SpatialIndex, queries: DataFrame, k: int
 
     cdt = _cdt(index)
 
-    def make_cell_count(tighten: bool | None):
+    def make_cell_count(allow_fin: bool):
         # mirror knn_join's tighten flags (cold forces the block-scan
         # tighten; its scanned points are counted via knn_bound's stats
-        # hook, so the audit reflects ALL distance comparisons)
+        # hook, so the audit reflects ALL distance comparisons). Cold
+        # groups also emit the exact kth distance² (kth = -1 when
+        # unavailable: hot group, or < k finite results) so the
+        # home-first audit can re-prune stage B like knn_join does.
         def cell_count(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame
                        ) -> pd.DataFrame:
             if len(qpdf) == 0 or len(ipdf) == 0:
-                return pd.DataFrame(columns=["qid", "scanned", "leaves"])
+                return pd.DataFrame(
+                    columns=["qid", "scanned", "leaves", "kth"])
             qpts = qpdf[cc].to_numpy(cdt)
             ub = qpdf["ub"].to_numpy(np.float64)
             st: dict = {}
-            _group_knn(qpts, ipdf["blob"], k, ub, stats=st,
-                       tighten=tighten)
+            d, _ = _group_knn(qpts, ipdf["blob"], k, ub, stats=st,
+                              tighten=(allow_fin and _TIGHTEN_COLD)
+                              or None)
+            kd = d[:, k - 1]
+            kth = (np.where(np.isfinite(kd), kd, -1.0) if allow_fin
+                   else np.full(len(qpdf), -1.0))
             return pd.DataFrame({"qid": qpdf["qid"].to_numpy(np.int64),
                                  "scanned": st["scanned"],
-                                 "leaves": st["leaves"]})
+                                 "leaves": st["leaves"],
+                                 "kth": kth})
         return cell_count
 
-    cnt_schema = "qid long, scanned long, leaves long"
-    cold, hot, cold_blobs, hblobs = _pruned_blob_sides(index, cand)
-    per_cell = (cold.groupby("cell")
-                .cogroup(cold_blobs.groupby("cell"))
-                .applyInPandas(make_cell_count(True), cnt_schema)
-                .unionByName(
-                    hot.groupby("cell", "salt")
-                    .cogroup(hblobs.groupby("cell", "salt"))
-                    .applyInPandas(make_cell_count(None), cnt_schema)))
+    cnt_schema = "qid long, scanned long, leaves long, kth double"
+    if not _HOME_FIRST:
+        per_cell = _scan_local(index, cand, make_cell_count, cnt_schema)
+    else:
+        home, sibs = _home_split(index, cand, cc)
+        perA = _scan_local(index, home, make_cell_count, cnt_schema) \
+            .localCheckpoint(eager=False)
+        kth = (perA.filter(F.col("kth") >= 0)
+               .groupBy("qid").agg(F.min("kth").alias("kth2")))
+        sibs2 = (sibs.join(kth, "qid", "left")
+                 .filter(F.col("mind2")
+                         <= F.least(F.col("ub"),
+                                    F.coalesce(F.col("kth2"),
+                                               F.lit(float("inf")))))
+                 .withColumn("ub", F.least(F.col("ub"),
+                                           F.coalesce(F.col("kth2"),
+                                                      F.lit(float("inf")))))
+                 .drop("kth2"))
+        perB = _scan_local(index, sibs2, make_cell_count, cnt_schema)
+        per_cell = perA.unionByName(perB)
     return (per_cell.groupBy("qid")
             .agg(F.sum("scanned").alias("scanned"),
                  F.sum("leaves").alias("leaves")))
