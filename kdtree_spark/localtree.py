@@ -57,9 +57,18 @@ TIGHTEN_MIN = int(os.environ.get("KDS_TIGHTEN_MIN", "32768"))
 # their own block-scan bound before searching (see knn())
 # NOTE: a whole-blob brute-scan "crossover" for small query batches was
 # tried and measured 18x SLOWER than the bound-seeded traversal at
-# m=94/n=9400 (scan()'s full-row lexsort merge dominates); the knn_bound
-# seeding already fixes small-batch traversal cost, so there is no brute
-# regime worth keeping.
+# m=94/n=9400 at d=2 (scan()'s full-row lexsort merge dominates); the
+# knn_bound seeding already fixes small-batch traversal cost, so there
+# is no brute regime worth keeping IN LOW d. In HIGH d the picture
+# inverts: bbox pruning stops working (curse of dimensionality — the
+# kth-NN radius spans most of the domain), the traversal visits nearly
+# every leaf anyway, and its per-leaf gather overhead loses badly to
+# one BLAS matmul. Measured crossover at n=9400, m=574 (tree/dense ms):
+# d=5 93/214, d=6 359/113, d=8 3438/106, d=16 2715/113 — the tree wins
+# through d=5, dense wins 3-30x from d=6 up. knn() switches to the
+# dense kernel at d >= DENSE_SCAN_DIM for integer coords (where the
+# dot-trick distances are provably exact, see _knn_dense).
+DENSE_SCAN_DIM = int(os.environ.get("KDS_KNN_DENSE_DIM", "6"))
 
 
 def _alive_mask(tomb_sorted: np.ndarray, ids: np.ndarray) -> np.ndarray:
@@ -433,6 +442,68 @@ class LocalKDTree:
             bound = np.minimum(bound, np.partition(d2, k - 1, axis=1)[:, k - 1])
         return bound
 
+    def _knn_dense(self, q: np.ndarray, k: int,
+                   ub: np.ndarray | None = None,
+                   stats: dict | None = None):
+        """Dense exact kNN: one blocked BLAS matmul over the live
+        points — the high-d kernel (see DENSE_SCAN_DIM note). Integer
+        coords only: with |coord| < 2^20 and d <= 16 every term of
+        q·q - 2 q·p + p·p (and every partial sum inside the matmul) is
+        an integer below 2^53, so the float64 distances are EXACT and
+        the (dist², id) tie-break is identical to the traversal path
+        and the SQL oracle. Tie-safe top-k: argpartition by distance,
+        then every column tied with the kth value re-enters the
+        (dist², id) lexsort. Same contract as knn(): ub drops
+        candidates beyond the bound, missing slots are (inf, -1)."""
+        q = np.asarray(q)
+        m, d = q.shape
+        if stats is not None:
+            stats.setdefault("scanned", np.zeros(m, np.int64))
+            stats.setdefault("leaves", np.zeros(m, np.int64))
+        best_d = np.full((m, k), np.inf, dtype=np.float64)
+        best_i = np.full((m, k), -1, dtype=np.int64)
+        if m == 0:
+            return best_d, best_i
+        pts, ids = self.live_points()
+        n = len(pts)
+        if n == 0:
+            return best_d, best_i
+        if stats is not None:
+            stats["scanned"] += n
+            stats["leaves"] += (self.end > self.start).sum()
+        pf = pts.astype(np.float64)
+        pp = (pf * pf).sum(axis=1)
+        kk = min(k, n)
+        # blocked over queries: <= ~128 MB of distances per block
+        qblk = max(1, (1 << 24) // max(n, 1))
+        for s in range(0, m, qblk):
+            qf = q[s:s + qblk].astype(np.float64)
+            d2 = (qf * qf).sum(axis=1)[:, None] - 2.0 * (qf @ pf.T) + pp
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(len(qf))[:, None]
+            pd2 = d2[rows, part]
+            kth = pd2.max(axis=1)
+            # distance-ties at the kth value may hide a smaller id
+            # outside the partition: pull EVERY tied column back in.
+            # ub filters BEFORE ranking (the traversal path compacts
+            # dropped candidates the same way).
+            cand = d2 <= kth[:, None]
+            if ub is not None:
+                cand &= d2 <= ub[s:s + len(qf), None]
+            ti, tj = np.nonzero(cand)
+            if len(ti) == 0:
+                continue
+            cd = d2[ti, tj]
+            order = np.lexsort((ids[tj], cd, ti))
+            ti, tj, cd = ti[order], tj[order], cd[order]
+            grp_start = np.flatnonzero(np.r_[True, ti[1:] != ti[:-1]])
+            grp_size = np.diff(np.r_[grp_start, len(ti)])
+            rank = np.arange(len(ti)) - np.repeat(grp_start, grp_size)
+            keep = rank < k
+            best_d[s + ti[keep], rank[keep]] = cd[keep]
+            best_i[s + ti[keep], rank[keep]] = ids[tj[keep]]
+        return best_d, best_i
+
     def knn(self, q: np.ndarray, k: int, ub: np.ndarray | None = None,
             stats: dict | None = None, tighten: bool | None = None):
         """Exact k nearest neighbours for a batch of queries.
@@ -456,6 +527,12 @@ class LocalKDTree:
         """
         q = np.asarray(q)
         m, d = q.shape
+        if (m > 0 and d >= DENSE_SCAN_DIM
+                and np.issubdtype(np.asarray(self.pts).dtype, np.integer)):
+            # high d: bbox pruning is geometrically dead and the dense
+            # matmul kernel wins by 1-2 orders (DENSE_SCAN_DIM note);
+            # integer coords keep the dot-trick distances exact
+            return self._knn_dense(q, k, ub=ub, stats=stats)
         if stats is not None:
             stats.setdefault("scanned", np.zeros(m, np.int64))
             stats.setdefault("leaves", np.zeros(m, np.int64))

@@ -154,6 +154,24 @@ def neardup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
     Replication is NB rows per vector — no driver collect, no broadcast
     of the table. Exact all-pairs is inherently O(n²) compute; the
     srp_buckets join is the sub-quadratic scale path.
+
+    Why there is no "provably covering" bucketed exact variant here
+    (investigated, round 4): a sound bucket filter needs a geometric
+    gap between pairs above and below tau. Measured on the synthetic
+    embeddings (unit-norm 64-d): background pair cosine p99 = 0.286
+    with qualifying pairs starting at exactly 0.400 and the densest
+    non-pair at 0.399 — tau slices a CONTINUUM, so any complete filter
+    must admit essentially all pairs. The two sound mechanisms both
+    degenerate at theta = arccos(0.4) ~ 66°: (a) IVF triangle-
+    inequality list pairs — measured max assignment angle 73.7° at 64
+    lists, so the covering condition angle(ci,cj) <= theta+ma_i+ma_j
+    exceeds 180° for every list pair; (b) SRP sign margins — a bit is
+    decided for all vectors within theta only when |u·p| >= sin(66°) =
+    0.91, a ~7-sigma event for unit vectors in 64-d (per-bit dot std =
+    1/8). Probabilistic SRP/IVF candidates with measured recall
+    (srp_topk / ivf_topk + pytest recall gates) are the honest scale
+    path; exact threshold joins at low tau in high d are Θ(n²) by
+    geometry, not by implementation.
     """
     spark = emb.sparkSession
     nb_blocks = _nblocks(emb)

@@ -151,6 +151,36 @@ def test_home_first_knn_matches_default(spark, sf_dir):
     idx.unpersist()
 
 
+def test_dense_knn_kernel_matches_traversal():
+    """d >= DENSE_SCAN_DIM dispatches to the dense matmul kernel; its
+    results (ties, tombstones, extras, ub semantics) must be identical
+    to the traversal path's."""
+    import kdtree_spark.localtree as LT
+    from kdtree_spark.localtree import LocalKDTree
+    rng = np.random.default_rng(3)
+    n, m, d, k = 2500, 150, 9, 10
+    P = rng.integers(0, 500, (n, d)).astype(np.int64)  # ties likely
+    ids = (rng.permutation(n) * 11 + 5).astype(np.int64)
+    tree = LocalKDTree.build(P, ids)
+    sel = rng.choice(n, 80, replace=False)
+    ins = rng.integers(0, 500, (40, d)).astype(np.int64)
+    tree = tree.with_updates(
+        ins_pts=ins, ins_ids=(np.arange(40) + 10**9).astype(np.int64),
+        del_pts=P[sel], del_ids=ids[sel])
+    Q = rng.integers(0, 500, (m, d)).astype(np.int64)
+    ub = tree.knn_bound(Q, k)
+    saved = LT.DENSE_SCAN_DIM
+    try:
+        LT.DENSE_SCAN_DIM = 99
+        dt, it = tree.knn(Q, k, ub=ub.copy())
+        LT.DENSE_SCAN_DIM = 2
+        dd, di = tree.knn(Q, k, ub=ub.copy())
+    finally:
+        LT.DENSE_SCAN_DIM = saved
+    assert (it == di).all()
+    assert np.array_equal(dt, dd)
+
+
 def test_polygon_off_grid_bbox(spark):
     """A polygon whose bbox lies entirely off-grid on one axis must
     match nothing (and not trip sequence()'s descending-range
