@@ -133,7 +133,12 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
 
 def q_image_decode_stats(spark, sf_dir) -> DataFrame:
     """Decode + feature extraction over every image (round-trip PSNR is
-    re-asserted >= 40 dB inside the query)."""
+    re-asserted >= 40 dB inside the query).
+
+    Oracled exactly: phash_check and mean_lum_c are pure functions of
+    the caption (both codecs are lossless, so the PSNR filter keeps
+    every row and phash_check == stored phash); the fixture parquet
+    carries both precomputed per caption_md5."""
     feats = im.decode_features(get_images(spark, sf_dir))
     return (feats.filter(F.col("psnr_db") >= 40.0)
             .select("image_id", "phash_check",
@@ -182,18 +187,54 @@ FROM documents"""
 
 
 def q_video_frame_sample(spark, sf_dir) -> DataFrame:
-    """Frame sampling every 100 ms over every video (content depends on
-    pixel bytes -> rows-only; exactness vs a pure-python reference is
-    asserted in tests/test_media.py)."""
+    """Frame sampling every 100 ms over every video.
+
+    Oracled exactly: frame phashes are pure functions of
+    (caption text, fps), precomputed per (caption_md5, fps) into
+    fixtures_data/media_frames.parquet (scripts/gen_media_fixture.py);
+    the oracle recomputes fps from doc_id (media.FPS_SQL) and joins."""
     from .. import media as md
     return md.frame_sample(get_media(spark, sf_dir), every_ms=100)
 
 
 def q_audio_features(spark, sf_dir) -> DataFrame:
-    """Windowed integer energy / zero-crossings over every audio row
-    (PCM-dependent -> rows-only; pytest asserts exactness)."""
+    """Windowed integer energy / zero-crossings over every audio row.
+
+    Oracled exactly: window features are pure int64 functions of
+    (caption text, sample_rate), precomputed per (caption_md5, sr) into
+    fixtures_data/audio_windows.parquet; the oracle recomputes sr from
+    doc_id (media.SR_SQL) and joins."""
     from .. import media as md
     return md.audio_features(get_media(spark, sf_dir), win=256)
+
+
+_FRAMES_FIXTURE = os.path.join(os.path.dirname(_PHASH_FIXTURE),
+                               "media_frames.parquet")
+_AUDIO_FIXTURE = os.path.join(os.path.dirname(_PHASH_FIXTURE),
+                              "audio_windows.parquet")
+
+SQL_IMAGE_DECODE_STATS = f"""
+SELECT printf('img-%012d', d.doc_id) AS image_id,
+       f.phash AS phash_check, f.mean_lum_c
+FROM documents d
+JOIN read_parquet('{_PHASH_FIXTURE}') f ON md5(d.text) = f.caption_md5"""
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+SELECT printf('med-%012d', d.doc_id) AS media_id,
+       f.frame_idx, f.ts_ms, f.frame_phash
+FROM documents d
+JOIN read_parquet('{_FRAMES_FIXTURE}') f
+  ON md5(d.text) = f.caption_md5 AND f.fps = 10 + (d.doc_id % 3) * 5
+WHERE d.doc_id % 2 = 0"""
+
+SQL_AUDIO_FEATURES = f"""
+SELECT printf('med-%012d', d.doc_id) AS media_id,
+       f.win_idx, f.energy, f.zcross
+FROM documents d
+JOIN read_parquet('{_AUDIO_FIXTURE}') f
+  ON md5(d.text) = f.caption_md5
+ AND f.sr = 1000 + (d.doc_id % 3) * 1000
+WHERE d.doc_id % 2 = 1"""
 
 
 QUERIES = {
@@ -211,6 +252,10 @@ ORACLES = {
     "image_knn": SQL_IMAGE_KNN,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
     "media_meta": _sql_media_meta(),
-    # decode/frame/PCM queries depend on payload bytes -> rows-only by
-    # design (exactness asserted in tests/test_images.py, test_media.py)
+    # decode/frame/PCM values are pure functions of the caption text
+    # (+ doc_id-derived fps/sr) -> oracled via precomputed fixtures,
+    # the phash-fixture pattern (scripts/gen_media_fixture.py)
+    "image_decode_stats": SQL_IMAGE_DECODE_STATS,
+    "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
+    "audio_features": SQL_AUDIO_FEATURES,
 }

@@ -10,7 +10,11 @@ text across scale factors, the md5 does not collide.
 
 Regenerate with:  python scripts/gen_phash_fixture.py
 Output:           fixtures_data/image_phash.parquet
-                  (caption_md5 string, phash int64)
+                  (caption_md5 string, phash int64, mean_lum_c int64)
+
+`mean_lum_c` = floor(mean(pixels) * 100) mirrors decode_features'
+mean_lum through Spark's F.floor(mean_lum * 100) — identical float64
+ops on identical inputs, so the decode-stats oracle joins it exactly.
 
 tests/test_images.py asserts fixture phashes equal freshly-computed
 ones, so drift between this file and images.py fails CI.
@@ -19,6 +23,7 @@ ones, so drift between this file and images.py fails CI.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import sys
 
@@ -47,9 +52,12 @@ def main() -> None:
         w = 16 + (len(t) * 40503) % 17   # W_SQL, images.py:41
         h = 16 + (len(t) * 65521) % 17   # H_SQL, images.py:42
         px = im.render_pixels(im.content_seed(t), w, h)
-        rows.append((md5, im.phash64(px)))
-    pdf = pd.DataFrame(rows, columns=["caption_md5", "phash"])
+        rows.append((md5, im.phash64(px),
+                     math.floor(float(px.mean()) * 100)))
+    pdf = pd.DataFrame(rows, columns=["caption_md5", "phash",
+                                      "mean_lum_c"])
     pdf["phash"] = pdf["phash"].astype("int64")
+    pdf["mean_lum_c"] = pdf["mean_lum_c"].astype("int64")
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     pdf.to_parquet(OUT, index=False)
     print(f"wrote {len(pdf)} phashes -> {OUT}")

@@ -77,3 +77,61 @@ def test_audio_features_match_python(spark, sf_dir):
         np.testing.assert_array_equal(
             mine.zcross.to_numpy(),
             (np.diff(np.signbit(x), axis=1) != 0).sum(axis=1))
+
+
+def _fixture(name):
+    import os
+    import pandas as pd
+    return pd.read_parquet(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures_data", name))
+
+
+def test_media_fixtures_no_drift(spark, sf_dir):
+    """fixtures_data/{media_frames,audio_windows}.parquet (the DuckDB
+    oracle's sources, scripts/gen_media_fixture.py) must equal freshly
+    computed Spark results — drift between fixtures and media.py fails
+    here, mirroring test_phash_fixture_no_drift."""
+    m = md.synth_media(spark, sf_dir).cache()
+    key = m.selectExpr("media_id", "md5(caption) AS cm", "fps",
+                       "sample_rate AS sr").toPandas().set_index("media_id")
+
+    fx = _fixture("media_frames.parquet").set_index(
+        ["caption_md5", "fps", "ts_ms"])
+    got = md.frame_sample(m, every_ms=100).toPandas()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        k = key.loc[r.media_id]
+        row = fx.loc[(k.cm, int(k.fps), int(r.ts_ms))]
+        assert int(row.frame_idx) == int(r.frame_idx)
+        assert int(row.frame_phash) == int(r.frame_phash)
+
+    ax = _fixture("audio_windows.parquet").set_index(
+        ["caption_md5", "sr", "win_idx"])
+    agot = md.audio_features(m, win=256).toPandas()
+    assert len(agot) > 0
+    for _, r in agot.iterrows():
+        k = key.loc[r.media_id]
+        row = ax.loc[(k.cm, int(k.sr), int(r.win_idx))]
+        assert int(row.energy) == int(r.energy)
+        assert int(row.zcross) == int(r.zcross)
+    m.unpersist()
+
+
+def test_decode_stats_fixture_no_drift(spark, sf_dir):
+    """image_phash.parquet's mean_lum_c column must equal Spark's
+    floor(mean_lum * 100) from decode_features."""
+    from kdtree_spark import images as im
+    from pyspark.sql import functions as F
+    imgs = im.synth_images(spark, sf_dir).limit(40).cache()
+    feats = im.decode_features(imgs)
+    got = (imgs.join(feats, "image_id")
+           .select(F.expr("md5(caption)").alias("cm"), "phash",
+                   F.floor(F.col("mean_lum") * 100).cast("long")
+                   .alias("mlc"), "phash_check")
+           .toPandas())
+    assert len(got) == 40
+    fx = _fixture("image_phash.parquet").set_index("caption_md5")
+    for _, r in got.iterrows():
+        assert int(fx.loc[r.cm, "phash"]) == int(r.phash) == int(r.phash_check)
+        assert int(fx.loc[r.cm, "mean_lum_c"]) == int(r.mlc)
+    imgs.unpersist()
