@@ -4,8 +4,12 @@ Oracle-able queries derive from pure arithmetic on `documents` (the
 image table's parent): metadata projection and spatial kNN over image
 centroids with caption payload (caption equality is part of the value
 hash — the gate's byte-for-byte caption check). Pixel-dependent queries
-(phash dedup, decode stats) are rows-only here and exactly verified in
-tests/test_images.py (PSNR, phash roundtrip, lossless codec).
+(phash dedup, decode stats, frame sampling, audio features) are oracled
+through precomputed fixture parquets (scripts/gen_phash_fixture.py,
+scripts/gen_media_fixture.py): their outputs are pure functions of the
+caption text (+ doc_id-derived fps/sr), materialized once and joined by
+the DuckDB oracle on caption_md5. Drift between fixtures and the live
+kernels fails tests/test_images.py + tests/test_media.py.
 """
 
 from __future__ import annotations
