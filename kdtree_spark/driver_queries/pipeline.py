@@ -7,6 +7,8 @@ built from the same cross-engine-deterministic arithmetic
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline import ann, dedup, textops
@@ -282,15 +284,40 @@ FROM d WHERE dot::DOUBLE / sqrt(na::DOUBLE * nb::DOUBLE) >= {NEARDUP_TAU}"""
 
 
 def q_ann_srp_lsh(spark, sf_dir):
-    """Approximate (LSH) variant — rows-only driver check; recall vs the
-    exact top-k is asserted in tests/test_pipeline.py."""
+    """Approximate (LSH) variant; recall vs the exact top-k is asserted
+    in tests/test_pipeline.py.
+
+    Oracled exactly despite being approximate: bucketing runs on int64-
+    quantized embeddings/planes (deterministic for any partitioning), so
+    the expected result is precomputed by an independent pandas/numpy
+    reimplementation (scripts/gen_ann_fixture.py) into a fixture parquet
+    the oracle selects by a table checksum."""
     return ann.srp_topk(_emb(spark, sf_dir), ANN_QUERY_FILTER, 10)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """Approximate (inverted-file / coarse-centroid) variant — rows-only
-    driver check; recall asserted in tests/test_pipeline.py."""
+    """Approximate (inverted-file / coarse-centroid) variant; recall
+    asserted in tests/test_pipeline.py. Oracled exactly via the
+    precomputed fixture, like q_ann_srp_lsh (quantized centroids make
+    list assignment integer-exact)."""
     return ann.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_FILTER, 10)
+
+
+_FX_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "fixtures_data")
+
+# must match scripts/gen_ann_fixture.py table_key() verbatim
+_TABLE_KEY_SQL = (
+    "SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000) "
+    "AS BIGINT) * ((vec_id % 97) + 1)) AS BIGINT) FROM embeddings")
+
+
+def _sql_ann_fixture(name: str) -> str:
+    path = os.path.join(_FX_DIR, f"{name}.parquet")
+    return f"""
+SELECT f.qid, f.nid, f.dot, f.na, f.nb, f.cos, f.rank
+FROM read_parquet('{path}') f
+WHERE f.table_key = ({_TABLE_KEY_SQL})"""
 
 
 # ------------------------------------------------------------------ registry
@@ -325,6 +352,11 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
-    # ann_srp_lsh, ann_ivf: approximate -> intentionally no oracle
-    # (rows-only); recall asserted in pytest
+    # ann_srp_lsh, ann_ivf are approximate in WHICH candidates they
+    # consider but fully deterministic (int-quantized bucketing), so an
+    # independent numpy reimplementation precomputes the expected top-k
+    # into fixture parquets (scripts/gen_ann_fixture.py); recall vs the
+    # exact top-k is still asserted in pytest
+    "ann_srp_lsh": _sql_ann_fixture("ann_srp"),
+    "ann_ivf": _sql_ann_fixture("ann_ivf"),
 }

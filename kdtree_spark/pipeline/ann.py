@@ -244,18 +244,29 @@ def _planes(dim: int = 64) -> np.ndarray:
         (N_TABLES, TABLE_BITS, dim))
 
 
+def _planes_q(dim: int = 64) -> np.ndarray:
+    """Hyperplanes quantized to int64 (floor(p * QUANT)), so the sign
+    matmul below is exact integer arithmetic: batch-shape-independent
+    (no BLAS float reduction-order effects near sign boundaries) and
+    reproducible bit-for-bit by the fixture oracle
+    (scripts/gen_ann_fixture.py). |e_q| <= ~1e4, |p_q| <= ~6e4,
+    64 dims -> |dot| <= ~4e10, exact in int64."""
+    from .common import QUANT
+    return np.floor(_planes(dim) * QUANT).astype(np.int64)
+
+
 def srp_buckets(emb: DataFrame) -> DataFrame:
     """(vec_id, bucket): N_TABLES rows per vector; bucket encodes
     (table_id << TABLE_BITS) | sign-bits so tables never collide."""
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(_planes())
+    bc = spark.sparkContext.broadcast(_planes_q())
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m = _quantize(pdf["embedding"])
             out_v, out_b = [], []
             for t in range(N_TABLES):
                 signs = (m @ planes[t].T) >= 0
@@ -343,6 +354,13 @@ def ivf_centroids(emb: DataFrame, nlist: int = NLIST) -> np.ndarray:
                                     F.lit(1_000_003)))
             .orderBy("h", "vec_id").limit(IVF_SAMPLE))
     m = np.stack(samp.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    return lloyd_unit_centroids(m, nlist)
+
+
+def lloyd_unit_centroids(m: np.ndarray, nlist: int) -> np.ndarray:
+    """Pure-numpy Lloyd over a fixed (sample, dim) float64 matrix —
+    shared by the engine and the fixture oracle generator so both train
+    identical centroids from the identical sample."""
     norms = np.linalg.norm(m, axis=1)
     m = m[norms > 0] / norms[norms > 0, None]
     k = min(nlist, len(m))
@@ -359,20 +377,26 @@ def ivf_centroids(emb: DataFrame, nlist: int = NLIST) -> np.ndarray:
     return cent
 
 
-def _list_assign(cent: np.ndarray, topn: int):
+def _list_assign(cent_q: np.ndarray, topn: int):
     """mapInPandas generator factory: (vec_id, embedding) -> one row per
-    probed list (topn=1 for base assignment, NPROBE for queries)."""
+    probed list (topn=1 for base assignment, NPROBE for queries).
+
+    `cent_q` is the centroid matrix quantized to int64 (floor(c*QUANT)),
+    so scores are exact integer dot products: assignment is batch-shape-
+    independent (no float reduction-order effects on argmax near ties;
+    ties resolve to the lowest list id via argmax/stable argsort) and
+    reproducible by the fixture oracle."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            scores = m @ cent.T
+            m = _quantize(pdf["embedding"])
+            scores = m @ cent_q.T
             if topn == 1:
                 lists = np.argmax(scores, axis=1)[:, None]
             else:
                 t = min(topn, scores.shape[1])
-                lists = np.argsort(-scores, axis=1)[:, :t]
+                lists = np.argsort(-scores, axis=1, kind="stable")[:, :t]
             n, t = lists.shape
             yield pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), t),
@@ -385,15 +409,16 @@ def ivf_topk(emb: DataFrame, query_filter: str, k: int = 10,
     """Approximate cosine top-k via inverted lists; output schema
     matches cosine_topk/srp_topk (rank may differ on recall misses —
     rows-only driver check + recall test in pytest, like srp_topk)."""
-    cent = ivf_centroids(emb, nlist)
+    from .common import QUANT
+    cent_q = np.floor(ivf_centroids(emb, nlist) * QUANT).astype(np.int64)
     base_lists = emb.select("vec_id", "embedding").mapInPandas(
-        _list_assign(cent, 1), "vec_id long, list_id long")
+        _list_assign(cent_q, 1), "vec_id long, list_id long")
     base = (emb.select("vec_id", "embedding").join(base_lists, "vec_id")
             .select(F.col("vec_id").alias("nid"),
                     F.col("embedding").alias("n_emb"), "list_id"))
     qdf = emb.filter(query_filter).select("vec_id", "embedding")
     q_lists = qdf.mapInPandas(
-        _list_assign(cent, nprobe), "vec_id long, list_id long")
+        _list_assign(cent_q, nprobe), "vec_id long, list_id long")
     q = (qdf.join(q_lists, "vec_id")
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("q_emb"), "list_id"))

@@ -230,6 +230,34 @@ def test_ivf_recall_on_clusters(spark):
         assert int((a * b).sum()) == int(r["dot"])
 
 
+def test_ann_fixture_no_drift(spark, sf_dir):
+    """fixtures_data/ann_{srp,ivf}.parquet (the DuckDB oracle's expected
+    results for the two approximate ANN gates, scripts/gen_ann_fixture.py)
+    must equal live Spark results on the same table — drift between the
+    fixtures and ann.py fails here."""
+    import os
+    from kdtree_spark.driver_queries import pipeline as dq
+
+    emb = dq._emb(spark, sf_dir)
+    # Spark arrays are 0-indexed; the oracle SQL's embedding[1] (DuckDB,
+    # 1-indexed) is the same first element
+    key = emb.selectExpr(
+        "CAST(SUM(CAST(FLOOR(CAST(embedding[0] AS DOUBLE) * 10000) AS "
+        "BIGINT) * ((vec_id % 97) + 1)) AS BIGINT) AS k").first().k
+    fx_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures_data")
+    cols = ["qid", "nid", "dot", "na", "nb", "rank"]
+    for name, fn in (("ann_srp", ann.srp_topk), ("ann_ivf", ann.ivf_topk)):
+        fx = pd.read_parquet(os.path.join(fx_dir, f"{name}.parquet"))
+        fx = (fx[fx.table_key == key][cols]
+              .sort_values(["qid", "rank"]).reset_index(drop=True))
+        got = (fn(emb, dq.ANN_QUERY_FILTER, 10).toPandas()[cols]
+               .astype("int64").sort_values(["qid", "rank"])
+               .reset_index(drop=True))
+        assert len(fx) > 0, name
+        pd.testing.assert_frame_equal(fx.astype("int64"), got), name
+
+
 def test_ivf_centroids_deterministic(spark):
     emb = _clustered_emb(spark)
     c1 = ann.ivf_centroids(emb)
