@@ -74,7 +74,12 @@ def point_in_polygon(points: DataFrame, polygons,
              .drop("_cx", "_cy"))
     pts = points.selectExpr("pid", "x", "y",
                             f"{grid.spark_cell_sql()} AS cell")
-    j = (pts.join(cells, "cell")
+    # polygons arrive as a driver-side list -> the enumerated
+    # (polygon, cell) side is always the small one; pin it as the
+    # broadcast side so the point table NEVER shuffles (at test scale
+    # Catalyst happily broadcasts the tiny points parquet instead —
+    # size-based and exactly backwards at 10^12 rows)
+    j = (pts.join(F.broadcast(cells), "cell")
          .filter((F.col("x") >= F.col("px0")) & (F.col("x") <= F.col("px1"))
                  & (F.col("y") >= F.col("py0"))
                  & (F.col("y") <= F.col("py1"))))
