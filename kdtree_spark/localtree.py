@@ -68,6 +68,12 @@ TIGHTEN_MIN = int(os.environ.get("KDS_TIGHTEN_MIN", "32768"))
 # through d=5, dense wins 3-30x from d=6 up. knn() switches to the
 # dense kernel at d >= DENSE_SCAN_DIM for integer coords (where the
 # dot-trick distances are provably exact, see _knn_dense).
+# ALSO tried and rejected: size-class-bucketed vectorization of
+# knn_bound's per-block loop (one inf-padded einsum+partition per
+# padded block-size class instead of one per distinct block) — measured
+# 31 ms vs 29 ms per 3k-query batch at n=150k: the per-block loop is
+# ~30 us/block all-in, NOT overhead-bound, and padding pays more in
+# gather/partition width than the loop costs.
 DENSE_SCAN_DIM = int(os.environ.get("KDS_KNN_DENSE_DIM", "6"))
 
 
