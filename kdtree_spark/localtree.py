@@ -381,7 +381,7 @@ class LocalKDTree:
     # -------------------------------------------------------------------- kNN
 
     def knn_bound(self, q: np.ndarray, k: int,
-                  stats: dict | None = None) -> np.ndarray:
+                  stats: dict | None = None, collect: bool = False):
         """Cheap VALID upper bound on each query's kth-NN distance².
 
         Vectorized descent to the deepest enclosing subtree block with
@@ -395,12 +395,34 @@ class LocalKDTree:
         per-cell batch sizes the batch traversal is dominated by
         per-node numpy overhead, while this is one descent (O(depth)
         passes over the batch) plus one einsum per distinct stop block.
+
+        collect=True additionally returns the scan's work so knn() can
+        SKIP the stop subtree instead of rescanning it:
+        (bound, stop_node (m,) int64 — the scanned node per query, -1
+        where no scan happened — and flat candidate arrays cand_q,
+        cand_d2, cand_id covering EVERY live point of each scanned
+        block, unfiltered). Exactness contract: a query's candidates
+        are complete for its stop subtree iff stop_node[q] != -1.
         """
         q = np.asarray(q)
         m, d = q.shape
         bound = np.full(m, np.inf)
+        stopn = np.full(m, -1, np.int64)
+        cq: list = []
+        cd2: list = []
+        cid: list = []
+
+        def _ret():
+            if not collect:
+                return bound
+            e = (np.empty(0, np.int64), np.empty(0, np.float64),
+                 np.empty(0, np.int64))
+            cat = ((np.concatenate(cq), np.concatenate(cd2),
+                    np.concatenate(cid)) if cq else e)
+            return bound, stopn, *cat
+
         if m == 0:
-            return bound
+            return _ret()
         qf = q.astype(np.float64)
         if self.n_base:
             stop = max(2 * k, 128)
@@ -431,7 +453,8 @@ class LocalKDTree:
                 lo, hi = self.start[node], self.end[node]
                 bpts, bids = self.pts[lo:hi], self.ids[lo:hi]
                 if tomb is not None:
-                    bpts = bpts[_alive_mask(tomb, bids)]
+                    alive = _alive_mask(tomb, bids)
+                    bpts, bids = bpts[alive], bids[alive]
                 if len(bpts) < k:
                     continue
                 if stats is not None:
@@ -440,13 +463,18 @@ class LocalKDTree:
                 diff = qf[qsub, None, :] - bpts[None, :, :].astype(np.float64)
                 d2 = np.einsum("ijk,ijk->ij", diff, diff)
                 bound[qsub] = np.partition(d2, k - 1, axis=1)[:, k - 1]
+                if collect:
+                    stopn[qsub] = node
+                    cq.append(np.repeat(qsub, len(bpts)))
+                    cd2.append(d2.ravel())
+                    cid.append(np.tile(bids, len(qsub)))
         # extras can only tighten; a kth among extras alone is also valid
         ne = len(self.extra_ids)
         if k <= ne <= 65536:
             diff = qf[:, None, :] - self.extra_pts[None, :, :].astype(np.float64)
             d2 = np.einsum("ijk,ijk->ij", diff, diff)
             bound = np.minimum(bound, np.partition(d2, k - 1, axis=1)[:, k - 1])
-        return bound
+        return _ret()
 
     def _knn_dense(self, q: np.ndarray, k: int,
                    ub: np.ndarray | None = None,
@@ -566,12 +594,22 @@ class LocalKDTree:
         # the blob's OWN points, the reference's nearer-child-first
         # effect, nn_search.hpp:107-120); False/auto on salted fan-out
         # paths where per-blob replication made it a 3x regression.
-        bound = (self.knn_bound(q, k, stats=stats) if ub is None
-                 else np.asarray(ub, np.float64).copy())
-        if ub is not None and (tighten is True or
-                               (tighten is None
-                                and self.n_base >= TIGHTEN_MIN)):
-            bound = np.minimum(bound, self.knn_bound(q, k, stats=stats))
+        # collect=True returns the block scan's candidates + per-query
+        # stop node: the descent below SKIPS each query's stop subtree
+        # (its points are already in the candidate rows) instead of
+        # rescanning it — the audit's scanned-pts/query drops ~35% and
+        # the gather shrinks accordingly, at identical results.
+        stopn = None
+        if ub is None:
+            bound, stopn, cbq, cbd, cbi = self.knn_bound(
+                q, k, stats=stats, collect=True)
+        else:
+            bound = np.asarray(ub, np.float64).copy()
+            if (tighten is True
+                    or (tighten is None and self.n_base >= TIGHTEN_MIN)):
+                b2, stopn, cbq, cbd, cbi = self.knn_bound(
+                    q, k, stats=stats, collect=True)
+                bound = np.minimum(bound, b2)
 
         qf = q.astype(np.float64)
         # tombstones are filtered AT THE LEAF (sorted-array membership per
@@ -595,6 +633,13 @@ class LocalKDTree:
         rows_q: list = []
         rows_d: list = []
         rows_i: list = []
+        if stopn is not None and len(cbq):
+            # block-scan candidates, filtered by the FINAL bound (the
+            # same `d2 <= bound` test gather applies)
+            keep = cbd <= bound[cbq]
+            rows_q.append(cbq[keep])
+            rows_d.append(cbd[keep])
+            rows_i.append(cbi[keep])
 
         def gather(lq: np.ndarray, ln: np.ndarray) -> None:
             # flatten the leaf blocks of (query, leaf) pairs and keep
@@ -637,6 +682,14 @@ class LocalKDTree:
             leaf_q: list = []
             leaf_n: list = []
             while len(pair_q):
+                if stopn is not None:
+                    # already-scanned stop subtrees: their candidates
+                    # were merged above, do not descend into them
+                    live_p = pair_n != stopn[pair_q]
+                    if not live_p.all():
+                        pair_q, pair_n = pair_q[live_p], pair_n[live_p]
+                        if not len(pair_q):
+                            break
                 sd = self.split_dim[pair_n]
                 isleaf = sd < 0
                 if isleaf.any():
