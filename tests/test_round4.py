@@ -224,3 +224,51 @@ def test_f64_epsilon_comparator_divergence():
     tree2 = LocalKDTree.build(pts2, ids)
     _, nid2 = tree2.knn(q, 1)
     assert nid2[0, 0] == 1
+
+
+def test_knn_stop_block_reuse_edges():
+    """knn_bound(collect=True) candidates replace a rescan of the stop
+    subtree; these are the edge shapes of that contract (round 4):
+    dummy-leaf root (all duplicates), stop-at-root (children below the
+    block threshold), k above the live count (no scan, full traversal),
+    and a tombstoned stop block with < k survivors."""
+    from kdtree_spark.localtree import LocalKDTree
+
+    def brute(P, ids, q, k):
+        d2 = ((P.astype(np.float64) - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))[:k]
+        return list(ids[order])
+
+    rng = np.random.default_rng(44)
+    q = np.array([[7, 9]], np.int64)
+
+    # all-identical points -> single leaf root IS the stop block
+    P = np.tile(np.array([[5, 5]], np.int64), (400, 1))
+    ids = rng.permutation(400).astype(np.int64)
+    t = LocalKDTree.build(P, ids)
+    d2, nid = t.knn(q, 3)
+    assert list(nid[0]) == brute(P, ids, q, 3)
+
+    # 200 points: root is internal but both children < 128 -> stop at
+    # root; traversal must gather nothing and still be exact
+    P = rng.integers(0, 1000, (200, 2)).astype(np.int64)
+    ids = rng.permutation(200).astype(np.int64)
+    t = LocalKDTree.build(P, ids)
+    st: dict = {}
+    d2, nid = t.knn(q, 5, stats=st)
+    assert list(nid[0]) == brute(P, ids, q, 5)
+    assert st["leaves"][0] == 1  # the stop-block scan, nothing rescanned
+
+    # k above the live count: bound stays inf, stopn = -1, full scan
+    d2, nid = t.knn(q, 300)
+    assert list(nid[0, :200]) == brute(P, ids, q, 200)
+    assert (nid[0, 200:] == -1).all() and np.isinf(d2[0, 200:]).all()
+
+    # tombstones shrink the stop block below k -> no-scan fallback path
+    big = rng.integers(0, 1000, (600, 2)).astype(np.int64)
+    bids = np.arange(600, dtype=np.int64)
+    t2 = LocalKDTree.build(big, bids)
+    t2 = t2.with_updates(del_pts=big[:595], del_ids=bids[:595])
+    alive = ~np.isin(bids, bids[:595])
+    d2, nid = t2.knn(q, 4)
+    assert list(nid[0]) == brute(big[alive], bids[alive], q, 4)
