@@ -734,6 +734,50 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
 FROM r WHERE rank <= 10"""
 
 
+def q_update_then_knn_d5(spark, sf_dir) -> DataFrame:
+    """Batch insert+delete then kNN at d=5 — the reference's
+    checkCorrect.sh tag=2 configuration (insert AND delete before
+    querying, at d=5 exactly as script/checkCorrect.sh:3-47 runs it;
+    batch ops dim-templated, batch_insert.hpp:60-191)."""
+    idx = get_index_d5(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("_u5_lineitem")
+    ins = spark.sql(points.insert_batch_d5_sql("_u5_lineitem"))
+    dele = spark.sql(points.delete_batch_d5_sql("_u5_lineitem"))
+    idx2 = idx.update(inserts=ins, deletes=dele)
+    q = spark.sql(
+        f"SELECT {points.d5_select_sql('qid')} FROM _u5_lineitem "
+        f"WHERE {points.QUERY_FILTER_SQL}")
+    return (knn_join(idx2, q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
+def sql_update_then_knn_d5() -> str:
+    cc = list(points.D5_COLS)
+    cols = ", ".join(cc)
+    dist = " + ".join(
+        f"(live.{c} - q.q{c}) * (live.{c} - q.q{c})" for c in cc)
+    return f"""
+WITH live AS (
+  SELECT pid, {cols} FROM (SELECT {points.d5_select_sql()} FROM lineitem)
+  WHERE pid NOT IN (SELECT pid FROM ({points.delete_batch_d5_sql('lineitem')}))
+  UNION ALL
+  SELECT pid, {cols} FROM ({points.insert_batch_d5_sql('lineitem')})
+),
+q AS (SELECT pid AS qid, {', '.join(f'{c} AS q{c}' for c in cc)}
+      FROM (SELECT {points.d5_select_sql()} FROM lineitem)
+      WHERE (pid % 101 = 7)),
+d AS (SELECT q.qid, live.pid AS nid, {dist} AS dist_sq
+      FROM q CROSS JOIN live),
+r AS (SELECT qid, nid, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dist_sq, nid) AS rank
+      FROM d)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
+FROM r WHERE rank <= 10"""
+
+
 BOXES_D5 = fixtures.gen_boxes_d(24, 5)
 
 
@@ -1054,6 +1098,7 @@ QUERIES = {
     "delete_then_count": q_delete_then_count,
     "update_then_knn": q_update_then_knn,
     "update_then_knn_d3": q_update_then_knn_d3,
+    "update_then_knn_d5": q_update_then_knn_d5,
     "insert_ratio_sweep": q_insert_ratio_sweep,
     "delete_ratio_sweep": q_delete_ratio_sweep,
     "incr_build_and_query": q_incr_build_and_query,
@@ -1094,6 +1139,7 @@ ORACLES = {
     "delete_then_count": sql_delete_then_count(),
     "update_then_knn": sql_update_then_knn(),
     "update_then_knn_d3": sql_update_then_knn_d3(),
+    "update_then_knn_d5": sql_update_then_knn_d5(),
     "insert_ratio_sweep": sql_insert_ratio_sweep(),
     "delete_ratio_sweep": sql_delete_ratio_sweep(),
     "incr_build_and_query": sql_incr_build_and_query(),

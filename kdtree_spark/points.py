@@ -182,6 +182,23 @@ def insert_batch_d3_sql(table: str = "lineitem") -> str:
             f"FROM {table} WHERE {INSERT_FILTER_SQL}")
 
 
+INSERT_W_SQL = f"((({PID_SQL} % 999959) * 23003) % 1000000)"
+INSERT_V_SQL = f"((({PID_SQL} % 999953) * 37019) % 1000000)"
+
+
+def insert_batch_d5_sql(table: str = "lineitem") -> str:
+    return (f"SELECT {INSERT_PID_SQL} AS pid, {INSERT_X_SQL} AS x, "
+            f"{INSERT_Y_SQL} AS y, {INSERT_Z_SQL} AS z, "
+            f"{INSERT_W_SQL} AS w, {INSERT_V_SQL} AS v "
+            f"FROM {table} WHERE {INSERT_FILTER_SQL}")
+
+
+def delete_batch_d5_sql(table: str = "lineitem") -> str:
+    return (f"SELECT pid, x, y, z, w, v FROM "
+            f"(SELECT {d5_select_sql()} FROM {table} "
+            f"WHERE {DELETE_FILTER_SQL})")
+
+
 def insert_batch_f64_sql(table: str = "lineitem") -> str:
     """Float-mode insert batch: integer scrambles + one fractional
     divide/add per coord — the same bit-identical-double contract as
