@@ -101,7 +101,10 @@ def main() -> None:
     warmq = (points.load_query_points(spark, sf_dir, "uniform").limit(64))
     knn_join(idx, warmq, 1).count()
 
-    queries = entrymod.queries()
+    # full registry, including gates retired from the driver's 50-row
+    # correctness sweep — bench timings stay comparable round-over-round
+    entrymod._ship_package(spark)
+    queries = entrymod._registry()
     names = (args.queries.split(",") if args.queries else HEADLINE)
     n_knn_queries = max(1, n_rows // 101)
     for name in names:

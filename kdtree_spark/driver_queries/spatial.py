@@ -632,8 +632,11 @@ GROUP BY b.box_id""")
 
 def q_incr_build_and_query(spark, sf_dir) -> DataFrame:
     """H9 incrementalBuildAndQuery (testFramework.h:873-929): build from
-    slice 0, insert slices 1..9 in chunks, probing k=1 kNN on a fixed
-    query set after slices 3, 6, 9."""
+    slice 0, insert slices 1..9 in three chunks of three slices each
+    (within the reference's own step sizes 0.1-0.5·n, test.cpp:53-74),
+    probing k=1 kNN on a fixed query set after each chunk (states after
+    slices 3, 6, 9 — the same truth as single-slice stepping, at half
+    the per-job latency floors)."""
     pts = points.load_points(spark, sf_dir, "uniform")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.createOrReplaceTempView("_h9_lineitem")
@@ -645,15 +648,15 @@ def q_incr_build_and_query(spark, sf_dir) -> DataFrame:
         spark, pts.filter("slice = 0").select("pid", "x", "y"),
         grid=Grid(GRID_G))
     outs = []
-    for t in range(1, 10):
+    for t in (3, 6, 9):
         idx = idx.update(
-            inserts=pts.filter(f"slice = {t}").select("pid", "x", "y"))
-        if t % 3 == 0:
-            outs.append(
-                knn_join(idx, probe, 1)
-                .select(F.lit(t).cast("long").alias("step"), "qid",
-                        F.col("rank").cast("long").alias("rank"),
-                        "nid", "dist_sq"))
+            inserts=pts.filter(f"slice BETWEEN {t - 2} AND {t}")
+            .select("pid", "x", "y"))
+        outs.append(
+            knn_join(idx, probe, 1)
+            .select(F.lit(t).cast("long").alias("step"), "qid",
+                    F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -699,22 +702,33 @@ def get_index_d5(spark, sf_dir) -> SpatialIndex:
     return _INDEX_CACHE[key]
 
 
-def q_knn_k10_d5(spark, sf_dir) -> DataFrame:
-    """d=5 configuration (tests/test.cpp:584): per-cell trees split all
-    5 dims; xy-only cell pruning degrades with d (measured in bench via
-    knn_candidates cells-per-query) but stays exact."""
+def _q_knn_d5(spark, sf_dir, k) -> DataFrame:
     idx = get_index_d5(spark, sf_dir)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.createOrReplaceTempView("_d5q_lineitem")
     q = spark.sql(
         f"SELECT {points.d5_select_sql('qid')} FROM _d5q_lineitem "
         f"WHERE {points.QUERY_FILTER_SQL}")
-    return (knn_join(idx, q, 10)
+    return (knn_join(idx, q, k)
             .select("qid", F.col("rank").cast("long").alias("rank"),
                     "nid", "dist_sq"))
 
 
-def sql_knn_k10_d5() -> str:
+def q_knn_k10_d5(spark, sf_dir) -> DataFrame:
+    """d=5 configuration (tests/test.cpp:584): per-cell trees split all
+    5 dims; xy-only cell pruning degrades with d (measured in bench via
+    knn_candidates cells-per-query) but stays exact."""
+    return _q_knn_d5(spark, sf_dir, 10)
+
+
+def q_knn_k100_d5(spark, sf_dir) -> DataFrame:
+    """k=100 at d=5 — the reference sweep varies k and d independently
+    (script/checkCorrect.sh, tests/test.cpp:84-96); exercises the
+    large-k super-stats fallback against the high-d candidate path."""
+    return _q_knn_d5(spark, sf_dir, 100)
+
+
+def _sql_knn_d5(k: int) -> str:
     return f"""
 WITH pts AS (SELECT {points.d5_select_sql()} FROM lineitem),
 q AS (SELECT pid AS qid, x AS qx, y AS qy, z AS qz, w AS qw, v AS qv
@@ -731,7 +745,11 @@ r AS (SELECT qid, nid, dist_sq,
                                 ORDER BY dist_sq, nid) AS rank
       FROM d)
 SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dist_sq
-FROM r WHERE rank <= 10"""
+FROM r WHERE rank <= {k}"""
+
+
+def sql_knn_k10_d5() -> str:
+    return _sql_knn_d5(10)
 
 
 def q_update_then_knn_d5(spark, sf_dir) -> DataFrame:
@@ -821,6 +839,31 @@ SELECT b.box_id, p.pid, {cols}
 FROM {vals}
 JOIN (SELECT {points.d5_select_sql()} FROM lineitem) p
   ON {_d5_box_pred()}"""
+
+
+CIRCLES_D5 = fixtures.gen_circles_d(15, 5)
+
+
+def q_circle_count_d5(spark, sf_dir) -> DataFrame:
+    """Ball count at d=5 (range_count.hpp:99-131 is dim-templated; the
+    checkCorrect.sh sweep varies queryType and d independently): cell
+    enumeration keys on the grid's 4 dims via the ball's bounding box,
+    classification + the kernel scan use the exact 5-d min/max dist²."""
+    return circle_count(get_index_d5(spark, sf_dir), CIRCLES_D5)
+
+
+def sql_circle_count_d5() -> str:
+    vals = fixtures.circles_values_sql_d(CIRCLES_D5, 5)
+    ctr = ["cx", "cy", "ctr2", "ctr3", "ctr4"]
+    dist = " + ".join(
+        f"(p.{pc} - c.{cc}) * (p.{pc} - c.{cc})"
+        for pc, cc in zip(points.D5_COLS, ctr))
+    return f"""
+SELECT c.circle_id, count(p.pid) AS cnt
+FROM {vals}
+LEFT JOIN (SELECT {points.d5_select_sql()} FROM lineitem) p
+  ON {dist} <= CAST(c.r AS BIGINT) * CAST(c.r AS BIGINT)
+GROUP BY c.circle_id"""
 
 
 # -------------------------------------------------------- float coords (f64)
@@ -1103,9 +1146,11 @@ QUERIES = {
     "delete_ratio_sweep": q_delete_ratio_sweep,
     "incr_build_and_query": q_incr_build_and_query,
     "knn_k10_d5": q_knn_k10_d5,
+    "knn_k100_d5": q_knn_k100_d5,
     "knn_k10_d16": q_knn_k10_d16,
     "range_count_d5": q_range_count_d5,
     "range_report_d5": q_range_report_d5,
+    "circle_count_d5": q_circle_count_d5,
     "knn_k10_f64": q_knn_k10_f64,
     "range_count_f64": q_range_count_f64,
     "range_report_f64": q_range_report_f64,
@@ -1144,9 +1189,11 @@ ORACLES = {
     "delete_ratio_sweep": sql_delete_ratio_sweep(),
     "incr_build_and_query": sql_incr_build_and_query(),
     "knn_k10_d5": sql_knn_k10_d5(),
+    "knn_k100_d5": _sql_knn_d5(100),
     "knn_k10_d16": sql_knn_k10_d16(),
     "range_count_d5": sql_range_count_d5(),
     "range_report_d5": sql_range_report_d5(),
+    "circle_count_d5": sql_circle_count_d5(),
     "knn_k10_f64": sql_knn_k10_f64(),
     "range_count_f64": sql_range_count_f64(),
     "range_report_f64": sql_range_report_f64(),

@@ -87,6 +87,32 @@ def gen_circles(n: int = 30, seed: int = 20) -> list[tuple[int, int, int, int]]:
     return out
 
 
+def gen_circles_d(n: int, d: int, seed: int = 21) -> list[tuple]:
+    """d-dimensional circles (circle_id, c0..c{d-1}, r): same
+    count-preserving radius scaling as gen_boxes_d — a 2-D radius r
+    covers area fraction ~(r/L)², so the d-D radius holding the same
+    point count is L^(1-2/d) * r^(2/d) (the reference's correctness
+    sweep varies queryType and d independently, script/checkCorrect.sh)."""
+    rng = np.random.default_rng(seed)
+    L = COORD_LIMIT
+    out = []
+    for i in range(n):
+        rlo, rhi = _BRACKETS[i % 3]
+        r2 = int(rng.integers(rlo // 2, rhi // 2))
+        r = min(int(L ** (1 - 2 / d) * r2 ** (2 / d)), L // 2)
+        ctr = [int(rng.integers(0, L)) for _ in range(d)]
+        out.append((i, *ctr, r))
+    return out
+
+
+def circles_values_sql_d(circles, d: int, alias: str = "c") -> str:
+    rows = ", ".join("(" + ", ".join(str(v) for v in c) + ")"
+                     for c in circles)
+    ctr = ["cx", "cy"] + [f"ctr{j}" for j in range(2, d)]
+    return (f"(VALUES {rows}) AS {alias}(circle_id, "
+            + ", ".join(ctr) + ", r)")
+
+
 def gen_polygons(n: int = 8, seed: int = 30,
                  nvert=(5, 12)) -> list[tuple[int, list[tuple[int, int]]]]:
     """Convex-ish CCW polygons: (poly_id, [(x,y), ...]).

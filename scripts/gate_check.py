@@ -38,8 +38,13 @@ def main(names=None):
     import __spark_entry__ as e
     from kdtree_spark.session import get_spark
 
-    qs = e.queries()
-    oracles = e.oracle_sql()
+    from kdtree_spark.driver_queries import imaging, pipeline, spatial
+    qs = e.queries()  # driver order (front-loaded, retired excluded)
+    # explicit names may address driver-retired gates too
+    full = {**spatial.QUERIES, **pipeline.QUERIES, **imaging.QUERIES}
+    for n, fn in full.items():
+        qs.setdefault(n, fn)
+    oracles = {**spatial.ORACLES, **pipeline.ORACLES, **imaging.ORACLES}
     spark = get_spark("gate-check", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
