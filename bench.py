@@ -59,6 +59,14 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=args.cpus,
                       shuffle_partitions=max(args.cpus, 8))
+    # defensive: if a prior phase (correctness sweep) shares this
+    # session, its cached tables (driver_queries index/image caches)
+    # would occupy executor storage and evict/skew bench timings
+    spark.catalog.clearCache()
+    from kdtree_spark.driver_queries import imaging as _dqi
+    from kdtree_spark.driver_queries import spatial as _dqs
+    _dqi._IMG_CACHE.clear()
+    _dqs._INDEX_CACHE.clear()
     sf_dir = args.sf_dir
     # label the run by lineitem row count (sf0.1 ~ 600k)
     n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -75,12 +83,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    trials: dict[str, list] = {}
 
-    # -- index build, timed separately (B1-B7 headline) ----------------------
+    # -- index build, timed separately (B1-B7 headline); best-of-2 like
+    # every other timed query (protocol uniformity, ADVICE r4) -------------
     pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
     t0 = time.time()
     idx = SpatialIndex.build(spark, pts, grid=Grid(8), n_hint=n_rows)
-    timings["index_build"] = time.time() - t0
+    t_first = time.time() - t0
+    idx.unpersist()
+    t0 = time.time()
+    idx = SpatialIndex.build(spark, pts, grid=Grid(8), n_hint=n_rows)
+    timings["index_build"] = min(t_first, time.time() - t0)
     extras["build_rows_per_sec"] = round(n_rows / timings["index_build"], 1)
     # getAveTreeHeight analogue (reference tests/testFramework.h): mean
     # and max per-blob tree depth across the forest, via one Spark agg
@@ -170,18 +184,22 @@ def main() -> None:
             # aren't skewed by memory pressure from index/blob caches
             spark.catalog.clearCache()
             dq._INDEX_CACHE.clear()
+        # best-of-2 for EVERY timed query (uniform protocol, ADVICE r4:
+        # mixing best-of-2 kNN with single-trial others made the summed
+        # headline internally inconsistent). Rationale: identical jobs
+        # measured 5.6-40 s across windows on this shared host
+        # (scripts/probe_tune.py); min() keeps one co-tenant spike from
+        # reading as an engine regression. Both trials are recorded
+        # (trials field) so single-trial rounds remain comparable.
         t0 = time.time()
         cnt = queries[name](spark, sf_dir).count()
-        timings[name] = time.time() - t0
+        t_first = time.time() - t0
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        t_second = time.time() - t0
+        timings[name] = min(t_first, t_second)
+        trials[name] = [round(t_first, 3), round(t_second, 3)]
         if name.startswith("knn_"):
-            # kNN gates are the suite's most latency-noise-exposed
-            # queries on this shared host (identical job measured
-            # 5.6-40 s across windows, scripts/probe_tune.py); a second
-            # trial and min() keeps one co-tenant spike from reading as
-            # an engine regression. Disclosed as protocol.knn below.
-            t0 = time.time()
-            queries[name](spark, sf_dir).count()
-            timings[name] = min(timings[name], time.time() - t0)
             extras[f"{name}_q_per_sec"] = round(n_knn_queries / timings[name], 1)
         elif name in ("range_count", "circle_count"):
             extras[f"{name}_q_per_sec"] = round(cnt / timings[name], 1)
@@ -194,29 +212,57 @@ def main() -> None:
     # suite's noise band can't provide.
     if args.queries is None:
         from kdtree_spark import fixtures
+        from kdtree_spark.queries.knn import knn_shipped_blobs
         from kdtree_spark.queries.ranges import range_count
         n1 = 6_000_000
         p1 = points.synth_points(spark, n1, parts=args.cpus)
+
+        def best2(fn):
+            t0 = time.time()
+            fn()
+            t_a = time.time() - t0
+            t0 = time.time()
+            fn()
+            return min(t_a, time.time() - t0)
+
+        # first-class sf1 leg: identical best-of-2 protocol as the
+        # sf0.1 suite (directive r4 #6 — the 600k-row suite sits in a
+        # noise band; this is the larger-n round-over-round signal).
+        # Reported under extras only, NOT in `value`, so suite walls
+        # stay comparable with earlier rounds.
+        t0 = time.time()
+        idx1 = SpatialIndex.build(spark, p1, grid=Grid.for_count(n1),
+                                  n_hint=n1)
+        t_b1 = time.time() - t0
+        idx1.unpersist()
         t0 = time.time()
         idx1 = SpatialIndex.build(spark, p1, grid=Grid.for_count(n1),
                                   n_hint=n1)
         extras["sf1_rows"] = n1
         extras["sf1_grid_g"] = idx1.grid.g
-        extras["sf1_build_sec"] = round(time.time() - t0, 3)
+        extras["sf1_build_sec"] = round(min(t_b1, time.time() - t0), 3)
         extras["sf1_build_rows_per_sec"] = round(
             n1 / extras["sf1_build_sec"], 1)
         q1 = (points.synth_points(spark, n1 // 100, parts=args.cpus)
               .selectExpr("pid AS qid", "x", "y"))
-        t0 = time.time()
-        knn_join(idx1, q1, 10).count()
-        extras["sf1_knn_k10_sec"] = round(time.time() - t0, 3)
+        extras["sf1_knn_k10_sec"] = round(
+            best2(lambda: knn_join(idx1, q1, 10).count()), 3)
         extras["sf1_knn_k10_q_per_sec"] = round(
             (n1 // 100) / extras["sf1_knn_k10_sec"], 1)
-        t0 = time.time()
-        range_count(idx1, fixtures.gen_boxes_bulk(10_000)).count()
-        extras["sf1_range_count_10k_sec"] = round(time.time() - t0, 3)
+        extras["sf1_range_count_10k_sec"] = round(
+            best2(lambda: range_count(
+                idx1, fixtures.gen_boxes_bulk(10_000)).count()), 3)
         extras["sf1_range_10k_q_per_sec"] = round(
             10_000 / extras["sf1_range_count_10k_sec"], 1)
+        # blob-shipping audit at sf1 (same protocol fields as the sf0.1
+        # grid64 audit): bytes crossing Arrow must scale with the query
+        # batch's candidate cells, not the index's cell count
+        q256 = q1.limit(256)
+        for kk, vv in knn_shipped_blobs(idx1, q256, 10).items():
+            extras[f"sf1_256q_{kk}"] = vv
+        nq1 = max(1, n1 // 100)
+        extras["sf1_knn_k10_cells_per_query"] = round(
+            knn_candidates(idx1, q1, 10).count() / nq1, 2)
         idx1.unpersist()
 
     total = sum(timings.values())
@@ -228,7 +274,8 @@ def main() -> None:
         "sf": sf,
         "cpus": args.cpus,
         "rows": n_rows,
-        "protocol": {"knn": "best_of_2", "other": "single_trial"},
+        "protocol": {"all": "best_of_2", "sf1_leg": "best_of_2"},
+        "trials": trials,
         "throughput": extras,
     }
     print(json.dumps(out))

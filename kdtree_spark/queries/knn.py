@@ -145,166 +145,182 @@ PROBE_POOL_CAP = 65536       # max pooled probe points per cell group
 # pool-tree build grows with it)
 
 
-def _seed_bound(index: SpatialIndex, queries: DataFrame, cc: list, k: int
-                ) -> DataFrame:
-    """Phase 1: (qid, coords, ub) — a VALID kth-distance² upper bound
-    per query from the home cell's probe samples (index.probes): the
-    kth smallest distance² to the pooled live sample upper-bounds the
-    true kth for any d, within a (cell/sample)^(1/d) radius factor.
-    Only the probe arrays of the batch's distinct home cells cross
-    Arrow (broadcast semi-join) — ~1-10% of blob bytes, once per job.
-    Queries the samples cannot bound (home cell empty, or k above the
-    pooled sample size) fall back to a prefix-sum window over the
-    <= 4096-row broadcast super-cell stats (index.super_stats)."""
+def _enum_rows(q: list, ub: np.ndarray, grid, fmode: bool):
+    """Vectorized candidate-cell enumeration on the regular grid: for
+    each query row i with finite ub[i], every grid cell in the cube of
+    half-width floor(sqrt(ub))+1 around the query point; rows whose
+    cube exceeds ENUM_CAP cells (or ub = inf) get one sentinel row with
+    cell = -1 (the super-cell path). Returns (rows_i, cells): int
+    indices into the input rows and the cell id per output row. Pure
+    arithmetic — no metadata needed; work proportional to output."""
+    g, cw, gd = grid.g, grid.cw, grid.dims
+    n = len(ub)
+    finite = np.isfinite(ub)
+    if fmode:
+        # float cells: floor(x / cw), mirroring the cell assignment
+        # formula (grid.spark_cell_sql_f64)
+        r = np.zeros(n)
+        r[finite] = np.sqrt(ub[finite]) + 1.0
+        c0 = [np.clip(np.floor((qj - r) / cw), 0, g - 1)
+              .astype(np.int64) for qj in q]
+        c1 = [np.clip(np.floor((qj + r) / cw), 0, g - 1)
+              .astype(np.int64) for qj in q]
+    else:
+        # +1 guards the (theoretical) downward rounding of sqrt at the
+        # boundary; over-coverage is corrected by the bbox join
+        r = np.zeros(n, np.int64)
+        r[finite] = np.floor(np.sqrt(ub[finite])).astype(np.int64) + 1
+        c0 = [np.clip((qj - r) // cw, 0, g - 1) for qj in q]
+        c1 = [np.clip((qj + r) // cw, 0, g - 1) for qj in q]
+    nper = [h - l + 1 for l, h in zip(c0, c1)]
+    ncand = nper[0].copy()
+    for nj in nper[1:]:
+        ncand *= nj
+    small = finite & (ncand <= ENUM_CAP)
+    idx = np.flatnonzero(small)
+    counts = ncand[idx]
+    total = int(counts.sum())
+    # flat row-major enumeration of each query's per-dim block
+    qrep = np.repeat(idx, counts)
+    starts = np.zeros(len(idx), np.int64)
+    if len(idx):
+        starts[1:] = np.cumsum(counts)[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    # mixed-radix decode, last dim fastest (row-major id)
+    cells = np.zeros(total, np.int64)
+    rem = within
+    for j in range(gd - 1, -1, -1):
+        nj = np.repeat(nper[j][idx], counts)
+        cj = rem % nj + np.repeat(c0[j][idx], counts)
+        rem = rem // nj
+        cells += cj * (g ** (gd - 1 - j))
+    big = np.flatnonzero(~small)
+    rows_i = np.concatenate([qrep, big])
+    cellcol = np.concatenate([cells, np.full(len(big), -1, np.int64)])
+    return rows_i, cellcol
+
+
+def _seed_enum(index: SpatialIndex, queries: DataFrame, cc: list, k: int
+               ) -> DataFrame:
+    """Fused phases 1+2 (kernel side): (qid, coords, ub, cell) rows out
+    of ONE probe cogroup.
+
+    Phase 1 — a VALID kth-distance² upper bound per query from the home
+    cell's probe samples (index.probes): the kth smallest distance² to
+    the pooled live sample upper-bounds the true kth for any d, within
+    a (cell/sample)^(1/d) radius factor. Only the probe arrays of the
+    batch's distinct home cells cross Arrow (broadcast semi-join) —
+    ~1-10% of blob bytes, once per job.
+
+    Phase 2 is fused into the same pandas kernel: bounded queries
+    enumerate their candidate cells (_enum_rows) before leaving the
+    cogroup, so the bounded hot path pays no second Python/Arrow hop
+    (the round-4 phase profile measured the seed cogroup and the
+    separate enumeration pass at ~1 s of stage floor each at gate
+    scale). Sentinels: cell = -1 -> enum cube exceeded ENUM_CAP (super-
+    cell path refines it); cell = -2 -> the samples could not bound the
+    query (home cell empty, or k above the pooled sample) — the
+    prefix-sum fallback over the broadcast super-cell stats computes ub
+    and a mapInPandas pass enumerates (rare: only empty-home or
+    k > pool queries)."""
     d = len(cc)
     cdt = _cdt(index)
     coord_schema = _coord_schema(index, cc)
+    grid = index.grid
+    gd = grid.dims
+    fmode = index.float_coords
     home = queries.selectExpr(
         "qid", *cc, f"{index.cell_sql_nd(cc)} AS cell")
     probes = index.probes().join(
         F.broadcast(home.select("cell").distinct()), "cell", "semi")
 
-    def probe_ub(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame
-                 ) -> pd.DataFrame:
+    def probe_enum(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame
+                   ) -> pd.DataFrame:
         if len(qpdf) == 0:
-            return pd.DataFrame(
-                columns=["qid", *cc, "ub"])
-        out = qpdf[["qid", *cc]].copy()
-        # -1.0 = unbounded -> super-stats fallback (NOT NaN: pandas NaN
-        # becomes SQL NULL through the Arrow hop and would slip every
-        # filter on ub)
-        out["ub"] = -1.0
-        if len(ppdf) == 0:
-            return out
-        pool = np.concatenate([
-            np.asarray(a, cdt).reshape(-1, d) for a in ppdf["probe"]
-        ]) if len(ppdf) else np.empty((0, d), cdt)
-        if len(pool) > PROBE_POOL_CAP:  # salted cells pool many samples
-            pool = pool[::-(-len(pool) // PROBE_POOL_CAP)]
-        P = len(pool)
-        if P < k:
-            return out
-        # one tiny tree over the pool, then the block-scan bound kernel:
-        # per query a descent plus one >=max(2k,128)-point block scan —
-        # ~8x fewer flops than a full-pool distance matrix at P=1024,
-        # with the same bound quality (the enclosing sample block holds
-        # the query's nearest sample points)
-        ptree = LocalKDTree.build(pool, np.arange(P, dtype=np.int64))
-        ub = ptree.knn_bound(qpdf[cc].to_numpy(cdt), k)
-        out["ub"] = np.where(np.isfinite(ub), ub, -1.0)
-        return out
+            return pd.DataFrame(columns=["qid", *cc, "ub", "cell"])
+        # -1.0 = unbounded (NOT NaN: pandas NaN becomes SQL NULL
+        # through the Arrow hop and would slip every filter on ub)
+        ub = np.full(len(qpdf), -1.0)
+        if len(ppdf):
+            pool = np.concatenate([
+                np.asarray(a, cdt).reshape(-1, d) for a in ppdf["probe"]])
+            if len(pool) > PROBE_POOL_CAP:  # salted cells pool many
+                pool = pool[::-(-len(pool) // PROBE_POOL_CAP)]
+            P = len(pool)
+            if P >= k:
+                # one tiny tree over the pool, then the block-scan
+                # bound kernel: per query a descent plus one
+                # >=max(2k,128)-point block scan — ~8x fewer flops than
+                # a full-pool distance matrix at P=1024, with the same
+                # bound quality (the enclosing sample block holds the
+                # query's nearest sample points)
+                ptree = LocalKDTree.build(
+                    pool, np.arange(P, dtype=np.int64))
+                b = ptree.knn_bound(qpdf[cc].to_numpy(cdt), k)
+                ub = np.where(np.isfinite(b), b, -1.0)
+        bounded = ub >= 0
+        bidx = np.flatnonzero(bounded)
+        q = [qpdf[cc[j]].to_numpy(cdt)[bidx] for j in range(gd)]
+        rows_b, cells_b = _enum_rows(q, ub[bidx], grid, fmode)
+        needy = np.flatnonzero(~bounded)
+        rows_i = np.concatenate([bidx[rows_b], needy])
+        cellcol = np.concatenate(
+            [cells_b, np.full(len(needy), -2, np.int64)])
+        out = {"qid": qpdf["qid"].to_numpy(np.int64)[rows_i]}
+        for c in cc:
+            out[c] = qpdf[c].to_numpy(cdt)[rows_i]
+        out["ub"] = ub[rows_i]
+        out["cell"] = cellcol
+        return pd.DataFrame(out)
 
-    # dense/needy below and phase 2's near/far branches all re-read the
-    # seed; a lazy checkpoint runs the probe cogroup exactly once
-    seed = (home.groupby("cell")
+    # the bounded rows and the needy fallback below both re-read this;
+    # a lazy checkpoint runs the probe cogroup exactly once
+    return (home.groupby("cell")
             .cogroup(probes.groupby("cell"))
-            .applyInPandas(probe_ub, f"qid long, {coord_schema}, ub double")
+            .applyInPandas(
+                probe_enum, f"qid long, {coord_schema}, ub double, cell long")
             .localCheckpoint(eager=False))
-    dense = seed.filter(F.col("ub") >= 0)
-    needy = seed.filter(F.col("ub") < 0).drop("ub")
 
-    # super-cell prefix-sum: blocks ordered by farthest-corner dist²;
-    # the first prefix whose live counts reach k holds k points all
-    # within that maxd2 -> valid bound. Enumeration is TOTAL (every
-    # super cell), so ub = inf only when the index has < k live points.
+
+def _super_prefix_ub(index: SpatialIndex, needy: DataFrame, cc: list,
+                     k: int) -> DataFrame:
+    """Fallback bound for queries the probe samples cannot bound:
+    super-cell prefix-sum — blocks ordered by farthest-corner dist²;
+    the first prefix whose live counts reach k holds k points all
+    within that maxd2 -> valid bound. Enumeration is TOTAL (every super
+    cell), so ub = inf only when the index has < k live points."""
     sup = index.super_stats()
     slo, shi = _super_cols(cc)
     _, maxd2_s = _bbox_exprs(cc, slo, shi)
     wq = Window.partitionBy("qid")
     wcum = (wq.orderBy(F.col("maxd2").asc(), F.col("scell").asc())
             .rowsBetween(Window.unboundedPreceding, 0))
-    far = (needy.crossJoin(F.broadcast(sup))
-           .withColumn("maxd2", maxd2_s)
-           .withColumn("cum", F.sum("ccnt").over(wcum))
-           .groupBy("qid", *cc)
-           .agg(F.coalesce(
-               F.min(F.when(F.col("cum") >= k, F.col("maxd2"))),
-               F.lit(float("inf"))).alias("ub")))
-    return dense.unionByName(far)
+    return (needy.crossJoin(F.broadcast(sup))
+            .withColumn("maxd2", maxd2_s)
+            .withColumn("cum", F.sum("ccnt").over(wcum))
+            .groupBy("qid", *cc)
+            .agg(F.coalesce(
+                F.min(F.when(F.col("cum") >= k, F.col("maxd2"))),
+                F.lit(float("inf"))).alias("ub")))
 
 
-def _candidate_cells(index: SpatialIndex, with_ub: DataFrame, cc: list,
+def _candidate_cells(index: SpatialIndex, enum: DataFrame, cc: list,
                      coord_schema: str, k: int) -> DataFrame:
-    """Phase 2: (qid, coords, ub, cell, maxsalt) candidate pairs.
+    """Phase 2 (refinement side): (qid, coords, ub, cell, maxsalt)
+    candidate pairs from the fused enumeration rows.
 
-    Per query, enumerate grid cells in the cube of half-width
-    floor(sqrt(ub))+1 around the query point over all grid.dims gridded
-    dims (regular grid => pure arithmetic, no metadata needed), then
-    equi-join on `cell` with the cell-stats table to (a) drop empty
-    cells and (b) keep only cells whose data-bbox min-dist² <= ub — the
-    same <= test the reference's p2b_min_distance makes, so
-    equal-distance candidates survive for the (dist, id) tie-break.
-    Queries whose cube exceeds ENUM_CAP cells (or ub = inf: the index
-    holds < k points) emit a sentinel (cell = -1) and broadcast-join
-    the <= 4096-row super-cell stats instead: super cells within ub
-    explode into their S^dims fine children, which the fine stats join
-    then prunes — work scales with the query's true candidate region,
-    never with total cell count.
-    """
+    Enumerated rows (cell >= 0) equi-join on `cell` with the cell-stats
+    table to (a) drop empty cells and (b) keep only cells whose
+    data-bbox min-dist² <= ub — the same <= test the reference's
+    p2b_min_distance makes, so equal-distance candidates survive for
+    the (dist, id) tie-break. Sentinel rows (cell = -1: cube exceeded
+    ENUM_CAP, or ub = inf) broadcast-join the <= 4096-row super-cell
+    stats instead: super cells within ub explode into their S^dims
+    fine children, which the fine stats join then prunes — work scales
+    with the query's true candidate region, never with total cell
+    count."""
     grid = index.grid
-    g, cw, gd = grid.g, grid.cw, grid.dims
-    cdt = _cdt(index)
-    fmode = index.float_coords
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            q = [pdf[cc[j]].to_numpy(cdt) for j in range(gd)]
-            ub = pdf["ub"].to_numpy(np.float64)
-            finite = np.isfinite(ub)
-            if fmode:
-                # float cells: floor(x / cw), mirroring the cell
-                # assignment formula (grid.spark_cell_sql_f64)
-                r = np.zeros(n)
-                r[finite] = np.sqrt(ub[finite]) + 1.0
-                c0 = [np.clip(np.floor((qj - r) / cw), 0, g - 1)
-                      .astype(np.int64) for qj in q]
-                c1 = [np.clip(np.floor((qj + r) / cw), 0, g - 1)
-                      .astype(np.int64) for qj in q]
-            else:
-                # +1 guards the (theoretical) downward rounding of sqrt
-                # at the boundary; over-coverage is corrected by the
-                # bbox join
-                r = np.zeros(n, np.int64)
-                r[finite] = np.floor(np.sqrt(ub[finite])).astype(np.int64) + 1
-                c0 = [np.clip((qj - r) // cw, 0, g - 1) for qj in q]
-                c1 = [np.clip((qj + r) // cw, 0, g - 1) for qj in q]
-            nper = [h - l + 1 for l, h in zip(c0, c1)]
-            ncand = nper[0].copy()
-            for nj in nper[1:]:
-                ncand *= nj
-            small = finite & (ncand <= ENUM_CAP)
-            idx = np.flatnonzero(small)
-            counts = ncand[idx]
-            total = int(counts.sum())
-            # flat row-major enumeration of each query's per-dim block
-            qrep = np.repeat(idx, counts)
-            starts = np.zeros(len(idx), np.int64)
-            if len(idx):
-                starts[1:] = np.cumsum(counts)[:-1]
-            within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-            # mixed-radix decode, last dim fastest (row-major id)
-            cells = np.zeros(total, np.int64)
-            rem = within
-            for j in range(gd - 1, -1, -1):
-                nj = np.repeat(nper[j][idx], counts)
-                cj = rem % nj + np.repeat(c0[j][idx], counts)
-                rem = rem // nj
-                cells += cj * (g ** (gd - 1 - j))
-            big = np.flatnonzero(~small)
-            rows_i = np.concatenate([qrep, big])
-            cellcol = np.concatenate([cells, np.full(len(big), -1, np.int64)])
-            out = {"qid": pdf["qid"].to_numpy(np.int64)[rows_i]}
-            for c in cc:
-                out[c] = pdf[c].to_numpy(cdt)[rows_i]
-            out["ub"] = ub[rows_i]
-            out["cell"] = cellcol
-            yield pd.DataFrame(out)
-
-    enum = with_ub.mapInPandas(
-        gen, f"qid long, {coord_schema}, ub double, cell long")
+    g = grid.g
     stats = index.cell_stats()
     slo, shi = _super_cols(cc)
     mind2, _ = _bbox_exprs(cc, slo, shi)  # fine stats share these names
@@ -347,8 +363,37 @@ def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
     cells per query — the reference's visited-node counters analogue,
     testFramework.h:505-517)."""
     cc = list(index.coord_cols)
-    with_ub = _seed_bound(index, queries, cc, k)
-    return _candidate_cells(index, with_ub, cc, _coord_schema(index, cc), k)
+    coord_schema = _coord_schema(index, cc)
+    fused = _seed_enum(index, queries, cc, k)
+    enum = fused.filter(F.col("cell") >= -1)
+    needy = fused.filter(F.col("cell") == -2).drop("ub", "cell")
+    needy_ub = _super_prefix_ub(index, needy, cc, k)
+
+    # rare leg (empty home cell / k above the pooled sample): enumerate
+    # with the shared numpy kernel in a mapInPandas pass
+    grid = index.grid
+    gd = grid.dims
+    fmode = index.float_coords
+    cdt = _cdt(index)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = [pdf[cc[j]].to_numpy(cdt) for j in range(gd)]
+            ub = pdf["ub"].to_numpy(np.float64)
+            rows_i, cells = _enum_rows(q, ub, grid, fmode)
+            out = {"qid": pdf["qid"].to_numpy(np.int64)[rows_i]}
+            for c in cc:
+                out[c] = pdf[c].to_numpy(cdt)[rows_i]
+            out["ub"] = ub[rows_i]
+            out["cell"] = cells
+            yield pd.DataFrame(out)
+
+    needy_enum = needy_ub.mapInPandas(
+        gen, f"qid long, {coord_schema}, ub double, cell long")
+    return _candidate_cells(index, enum.unionByName(needy_enum), cc,
+                            coord_schema, k)
 
 
 def _pruned_blob_sides(index: SpatialIndex, cand: DataFrame):
@@ -470,8 +515,13 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
     # set several times; checkpoint the (small, O(queries x
     # cells-per-query)) candidates so phases 1+2 run once, not once per
     # consumer (blocks are freed by the ContextCleaner once the result
-    # is no longer referenced)
-    cand = knn_candidates(index, queries, k).localCheckpoint(eager=True)
+    # is no longer referenced). LAZY: an eager checkpoint blocks the
+    # driver on a dedicated materialization job (~1 s of the round-4
+    # phase profile's stage floor); lazy folds the materialization into
+    # the first consumer job with identical plan-truncation semantics
+    # (the logical plan becomes a LogicalRDD either way, so the blob
+    # semi-joins never see index.df lineage).
+    cand = knn_candidates(index, queries, k).localCheckpoint(eager=False)
     cdt = _cdt(index)
     maker = _cell_knn_maker(cc, cdt, k)
     out_schema = "qid long, nid long, dist_sq double, rank int, fin boolean"
@@ -483,10 +533,11 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
 
     if not _HOME_FIRST:
         # single-stage: all candidate cells scan concurrently; bypass
-        # queries with exactly one candidate cell (kernel-final ranks)
-        nc = cand.groupBy("qid").agg(F.count("*").alias("_nc"))
-        canded = (cand.join(nc, "qid")
-                  .withColumn("_fin", F.col("_nc") == 1).drop("_nc"))
+        # queries with exactly one candidate cell (kernel-final ranks).
+        # The per-query cell count rides a window over qid — ONE
+        # exchange, where a groupBy+join-back costs two
+        canded = cand.withColumn(
+            "_fin", F.count("*").over(Window.partitionBy("qid")) == 1)
         local = _scan_local(index, canded, maker, out_schema) \
             .localCheckpoint(eager=False)
         done = local.filter(F.col("fin"))

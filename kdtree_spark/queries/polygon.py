@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from ..fixtures import polygon_bbox, polygon_pred_sql
 from ..grid import Grid
 
+BROADCAST_CELL_CAP = 1_000_000  # max enumerated (polygon, cell) rows to
+# pin as the broadcast join side (~50 MB); beyond it AQE decides
+
 
 def point_in_polygon(points: DataFrame, polygons,
                      grid: Grid | None = None) -> DataFrame:
@@ -34,12 +37,18 @@ def point_in_polygon(points: DataFrame, polygons,
     like tile_cell_assign — the driver ships only one tiny row per
     polygon, never O(covered cells), so a domain-sized polygon over a
     1e8-cell grid costs the driver nothing); the join is an equi-join
-    on the cell id (AQE broadcasts the polygon-cell side while it is
-    small, shuffles when a huge polygon makes it large — never a
-    nested loop), and the half-plane conjunction is a JVM-side
-    `forall` over edge structs. At 10^12 points the cell equi-join
-    prunes to the polygons' cells (partition pruning when points are
-    stored cell-partitioned)."""
+    on the cell id, and the half-plane conjunction is a JVM-side
+    `forall` over edge structs. The polygon-cell side carries an
+    explicit broadcast hint ONLY while its exact enumerated row count
+    (known driver-side from the bboxes) stays under
+    BROADCAST_CELL_CAP — at test scale Catalyst's size-based choice
+    happily broadcasts the tiny points parquet instead, which is
+    exactly backwards at 10^12 points; above the cap (domain-sized
+    polygons over a fine grid would enumerate O(g²) rows each) the
+    hint is withheld and AQE picks shuffle vs broadcast from observed
+    sizes — never a nested loop either way. At 10^12 points the cell
+    equi-join prunes to the polygons' cells (partition pruning when
+    points are stored cell-partitioned)."""
     spark = points.sparkSession
     grid = grid or Grid(8)
     assert grid.dims == 2, "point_in_polygon is planar (2-D grids only)"
@@ -74,12 +83,22 @@ def point_in_polygon(points: DataFrame, polygons,
              .drop("_cx", "_cy"))
     pts = points.selectExpr("pid", "x", "y",
                             f"{grid.spark_cell_sql()} AS cell")
-    # polygons arrive as a driver-side list -> the enumerated
-    # (polygon, cell) side is always the small one; pin it as the
-    # broadcast side so the point table NEVER shuffles (at test scale
-    # Catalyst happily broadcasts the tiny points parquet instead —
-    # size-based and exactly backwards at 10^12 rows)
-    j = (pts.join(F.broadcast(cells), "cell")
+    # exact enumerated (polygon, cell) row count, from the same clipped
+    # bbox arithmetic the explode performs — O(#polygons) driver work
+    n_cells = 0
+    for _, x0, y0, x1, y1, _e in rows:
+        if x1 < 0 or y1 < 0 or x0 // cw > g - 1 or y0 // cw > g - 1:
+            continue
+        ncx = min(x1 // cw, g - 1) - max(x0 // cw, 0) + 1
+        ncy = min(y1 // cw, g - 1) - max(y0 // cw, 0) + 1
+        n_cells += ncx * ncy
+    # pin the polygon-cell side as broadcast so the point table never
+    # shuffles — but only while that side provably fits an executor
+    # (~50 MB at ~48 B/row); beyond the cap, withhold the hint and let
+    # AQE plan from observed sizes (see docstring)
+    cells_side = (F.broadcast(cells) if n_cells <= BROADCAST_CELL_CAP
+                  else cells)
+    j = (pts.join(cells_side, "cell")
          .filter((F.col("x") >= F.col("px0")) & (F.col("x") <= F.col("px1"))
                  & (F.col("y") >= F.col("py0"))
                  & (F.col("y") <= F.col("py1"))))

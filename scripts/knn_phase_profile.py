@@ -52,8 +52,8 @@ def main() -> None:
     K.knn_join(idx, q.limit(64), k).count()  # warm
 
     out = {"n": n, "nq": nq}
-    out["p1_seed_bound"] = best(
-        lambda: K._seed_bound(idx, q, cc, k).count())
+    out["p1_seed_enum"] = best(
+        lambda: K._seed_enum(idx, q, cc, k).count())
     out["p12_candidates"] = best(
         lambda: K.knn_candidates(idx, q, k).count())
     out["p12_checkpointed"] = best(

@@ -1,0 +1,100 @@
+"""Round-5 additions: fused seed+enum kNN phases, polygon broadcast
+guard, d=5 circle fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kdtree_spark import fixtures, points
+from kdtree_spark.grid import COORD_LIMIT, Grid
+from kdtree_spark.index import SpatialIndex
+
+
+def _pts(spark, n=4000, seed=5):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, COORD_LIMIT, n, dtype=np.int64),
+        "y": rng.integers(0, COORD_LIMIT, n, dtype=np.int64),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def _brute_knn(pdf, qx, qy, k):
+    d = (pdf.x.to_numpy() - qx) ** 2 + (pdf.y.to_numpy() - qy) ** 2
+    order = np.lexsort((pdf.pid.to_numpy(), d))
+    return d[order[:k]], pdf.pid.to_numpy()[order[:k]]
+
+
+def test_fused_knn_clustered_queries(spark):
+    """Queries live far from most data and on cell borders; exact match
+    vs brute force through the fused probe+enum path."""
+    from kdtree_spark.queries.knn import knn_join
+    df, pdf = _pts(spark)
+    idx = SpatialIndex.build(spark, df, grid=Grid(8))
+    qs = [(0, 3, 7), (1, COORD_LIMIT - 1, COORD_LIMIT - 1),
+          (2, COORD_LIMIT // 2, COORD_LIMIT // 2),
+          (3, COORD_LIMIT // 8, 0)]  # cell-border x
+    qdf = spark.createDataFrame(
+        pd.DataFrame(qs, columns=["qid", "x", "y"]))
+    out = knn_join(idx, qdf, 7).toPandas()
+    for qid, qx, qy in qs:
+        got = out[out.qid == qid].sort_values("rank")
+        ed, ei = _brute_knn(pdf, qx, qy, 7)
+        assert np.array_equal(got.nid.to_numpy(), ei), qid
+        assert np.array_equal(got.dist_sq.to_numpy(np.int64), ed), qid
+
+
+def test_fused_knn_needy_path(spark):
+    """k above the probe pool forces the sentinel -2 super-stats
+    fallback; results must stay exact."""
+    from kdtree_spark.queries.knn import knn_join
+    df, pdf = _pts(spark, n=3000)
+    idx = SpatialIndex.build(spark, df, grid=Grid(4))
+    # per-cell live counts ~187 < PROBE_SAMPLE, so the pool holds the
+    # home cell's full live set; k > pool size triggers the fallback
+    # only when the home cell holds fewer than k points
+    k = 400
+    qdf = spark.createDataFrame(
+        pd.DataFrame([(0, 11, 22)], columns=["qid", "x", "y"]))
+    out = knn_join(idx, qdf, k).toPandas().sort_values("rank")
+    ed, ei = _brute_knn(pdf, 11, 22, k)
+    assert np.array_equal(out.nid.to_numpy(), ei)
+    assert np.array_equal(out.dist_sq.to_numpy(np.int64), ed)
+
+
+def test_polygon_broadcast_guard(spark, monkeypatch):
+    """Results are identical whether the polygon-cell side is pinned
+    broadcast (small enumeration) or left to AQE (cap exceeded)."""
+    from kdtree_spark.queries import polygon as P
+    df, _ = _pts(spark, n=2000)
+    polys = fixtures.gen_polygons(4)
+    base = (P.point_in_polygon(df, polys, grid=Grid(8))
+            .toPandas().sort_values(["poly_id", "pid"]).reset_index(drop=True))
+    monkeypatch.setattr(P, "BROADCAST_CELL_CAP", 0)  # force no-hint path
+    nohint = (P.point_in_polygon(df, polys, grid=Grid(8))
+              .toPandas().sort_values(["poly_id", "pid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, nohint)
+    assert len(base) > 0
+
+
+def test_gen_circles_d_shape():
+    cs = fixtures.gen_circles_d(6, 5)
+    assert all(len(c) == 7 for c in cs)
+    sql = fixtures.circles_values_sql_d(cs, 5)
+    assert "ctr4" in sql and "circle_id" in sql
+    # radii stay on-domain
+    assert all(0 < c[-1] <= COORD_LIMIT // 2 for c in cs)
+
+
+def test_registry_fits_sweep_budget():
+    import __spark_entry__ as e
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) <= 50, "driver sweep writes at most 50 rows"
+    assert set(q) == set(o)
+    # never-verified gates lead the sweep
+    assert list(q)[:3] == ["ann_srp_lsh", "ann_ivf", "image_phash_dedup"]
