@@ -150,8 +150,13 @@ def _enum_rows(q: list, ub: np.ndarray, grid, fmode: bool):
     each query row i with finite ub[i], every grid cell in the cube of
     half-width floor(sqrt(ub))+1 around the query point; rows whose
     cube exceeds ENUM_CAP cells (or ub = inf) get one sentinel row with
-    cell = -1 (the super-cell path). Returns (rows_i, cells): int
-    indices into the input rows and the cell id per output row. Pure
+    cell = -1 (the super-cell path). Returns (rows_i, cells, fin0):
+    int indices into the input rows, the cell id per output row, and a
+    single-candidate flag — True iff the query enumerated EXACTLY one
+    cell, in which case that cell's kernel ranks are globally final
+    (the cell is the query's non-empty home cell, distance 0 <= ub, so
+    it always survives the stats join) and the merge window can be
+    bypassed without ever counting candidates per query. Pure
     arithmetic — no metadata needed; work proportional to output."""
     g, cw, gd = grid.g, grid.cw, grid.dims
     n = len(ub)
@@ -197,7 +202,9 @@ def _enum_rows(q: list, ub: np.ndarray, grid, fmode: bool):
     big = np.flatnonzero(~small)
     rows_i = np.concatenate([qrep, big])
     cellcol = np.concatenate([cells, np.full(len(big), -1, np.int64)])
-    return rows_i, cellcol
+    fin0 = np.concatenate([np.repeat(counts == 1, counts),
+                           np.zeros(len(big), bool)])
+    return rows_i, cellcol, fin0
 
 
 def _seed_enum(index: SpatialIndex, queries: DataFrame, cc: list, k: int
@@ -261,7 +268,7 @@ def _seed_enum(index: SpatialIndex, queries: DataFrame, cc: list, k: int
         bounded = ub >= 0
         bidx = np.flatnonzero(bounded)
         q = [qpdf[cc[j]].to_numpy(cdt)[bidx] for j in range(gd)]
-        rows_b, cells_b = _enum_rows(q, ub[bidx], grid, fmode)
+        rows_b, cells_b, fin_b = _enum_rows(q, ub[bidx], grid, fmode)
         needy = np.flatnonzero(~bounded)
         rows_i = np.concatenate([bidx[rows_b], needy])
         cellcol = np.concatenate(
@@ -271,6 +278,7 @@ def _seed_enum(index: SpatialIndex, queries: DataFrame, cc: list, k: int
             out[c] = qpdf[c].to_numpy(cdt)[rows_i]
         out["ub"] = ub[rows_i]
         out["cell"] = cellcol
+        out["fin0"] = np.concatenate([fin_b, np.zeros(len(needy), bool)])
         return pd.DataFrame(out)
 
     # the bounded rows and the needy fallback below both re-read this;
@@ -278,7 +286,9 @@ def _seed_enum(index: SpatialIndex, queries: DataFrame, cc: list, k: int
     return (home.groupby("cell")
             .cogroup(probes.groupby("cell"))
             .applyInPandas(
-                probe_enum, f"qid long, {coord_schema}, ub double, cell long")
+                probe_enum,
+                f"qid long, {coord_schema}, ub double, cell long, "
+                f"fin0 boolean")
             .localCheckpoint(eager=False))
 
 
@@ -325,8 +335,10 @@ def _candidate_cells(index: SpatialIndex, enum: DataFrame, cc: list,
     slo, shi = _super_cols(cc)
     mind2, _ = _bbox_exprs(cc, slo, shi)  # fine stats share these names
     # mind2 rides along so phase 3 can re-prune sibling cells against
-    # the exact kth distance of the home-cell scan (home-first order)
-    keep = ["qid", *cc, "ub", "cell", "maxsalt",
+    # the exact kth distance of the home-cell scan (home-first order);
+    # fin0 is the enumeration-time single-candidate flag (see
+    # _enum_rows) consumed by knn_join's merge bypass
+    keep = ["qid", *cc, "ub", "cell", "maxsalt", "fin0",
             mind2.alias("mind2")]
 
     near_out = (enum.filter(F.col("cell") >= 0).join(stats, "cell")
@@ -340,7 +352,7 @@ def _candidate_cells(index: SpatialIndex, enum: DataFrame, cc: list,
     mind2_s, _ = _bbox_exprs(cc, slo, shi)
     fsup = (far.crossJoin(F.broadcast(sup))
             .filter(mind2_s <= F.col("ub"))
-            .select("qid", *cc, "ub", "scell"))
+            .select("qid", *cc, "ub", "fin0", "scell"))
     children = fsup
     child_cols = []
     for j, (lo, hi) in enumerate(
@@ -349,7 +361,7 @@ def _candidate_cells(index: SpatialIndex, enum: DataFrame, cc: list,
             "*", f"explode(sequence({lo}, {hi})) AS _c{j}")
         child_cols.append(f"_c{j}")
     children = children.selectExpr(
-        "qid", *cc, "ub",
+        "qid", *cc, "ub", "fin0",
         f"{index.grid.compose_sql(child_cols)} AS cell")
     far_out = (children.join(stats, "cell")
                .filter(mind2 <= F.col("ub")).select(*keep))
@@ -382,16 +394,21 @@ def knn_candidates(index: SpatialIndex, queries: DataFrame, k: int
                 continue
             q = [pdf[cc[j]].to_numpy(cdt) for j in range(gd)]
             ub = pdf["ub"].to_numpy(np.float64)
-            rows_i, cells = _enum_rows(q, ub, grid, fmode)
+            rows_i, cells, fin0 = _enum_rows(q, ub, grid, fmode)
             out = {"qid": pdf["qid"].to_numpy(np.int64)[rows_i]}
             for c in cc:
                 out[c] = pdf[c].to_numpy(cdt)[rows_i]
             out["ub"] = ub[rows_i]
             out["cell"] = cells
+            # needy queries had an EMPTY home cell: their one enumerated
+            # cell is not guaranteed to survive the stats join, so they
+            # always merge through the window
+            out["fin0"] = np.zeros(len(rows_i), bool)
             yield pd.DataFrame(out)
 
     needy_enum = needy_ub.mapInPandas(
-        gen, f"qid long, {coord_schema}, ub double, cell long")
+        gen,
+        f"qid long, {coord_schema}, ub double, cell long, fin0 boolean")
     return _candidate_cells(index, enum.unionByName(needy_enum), cc,
                             coord_schema, k)
 
@@ -533,11 +550,14 @@ def knn_join(index: SpatialIndex, queries: DataFrame, k: int) -> DataFrame:
 
     if not _HOME_FIRST:
         # single-stage: all candidate cells scan concurrently; bypass
-        # queries with exactly one candidate cell (kernel-final ranks).
-        # The per-query cell count rides a window over qid — ONE
-        # exchange, where a groupBy+join-back costs two
-        canded = cand.withColumn(
-            "_fin", F.count("*").over(Window.partitionBy("qid")) == 1)
+        # queries whose ENUMERATION already had exactly one candidate
+        # cell (fin0, emitted by the fused kernel — their home cell's
+        # ranks are globally final, see _enum_rows). No per-query count
+        # is computed at all: the window/groupBy exchange over qid that
+        # previous rounds paid here is gone. Queries whose extra
+        # enumerated cells drop in the stats join (~15% at d=2)
+        # conservatively take the merge window — same results.
+        canded = cand.withColumn("_fin", F.col("fin0"))
         local = _scan_local(index, canded, maker, out_schema) \
             .localCheckpoint(eager=False)
         done = local.filter(F.col("fin"))
