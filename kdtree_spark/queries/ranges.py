@@ -220,7 +220,7 @@ def range_count(index: SpatialIndex, boxes) -> DataFrame:
     # cold scan, hot scan); checkpoint it so it is computed once
     pairs = joined.withColumn("full", contained).select(
         "box_id", *blo_c, *bhi_c, "cell", "ccnt", "full",
-        "maxsalt").localCheckpoint(eager=True)
+        "maxsalt").localCheckpoint(eager=False)
     full_counts = (pairs.filter(F.col("full"))
                    .groupBy("box_id").agg(F.sum("ccnt").alias("cnt")))
     bnd = pairs.filter(~F.col("full")).select(
@@ -264,7 +264,9 @@ def range_report(index: SpatialIndex, boxes) -> DataFrame:
     overlap, _ = _box_conds(d)
     pairs = _prune_join(index, bdf, len(boxes), overlap) \
         .select("box_id", *blo_c, *bhi_c, "cell", "maxsalt") \
-        .localCheckpoint(eager=True)  # consumed by both scan branches
+        .localCheckpoint(eager=False)  # consumed by both scan branches
+        # (lazy: plan truncation is immediate, materialization
+        # folds into the first consumer job — same as knn_join)
 
     def scan(key, bpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
         if len(bpdf) == 0 or len(ipdf) == 0:
@@ -325,7 +327,7 @@ def circle_count(index: SpatialIndex, circles) -> DataFrame:
                          contained=maxd2 <= r2)
     pairs = joined.withColumn("full", maxd2 <= r2).select(
         "circle_id", *ctr_c, "r", "cell", "ccnt", "full", "maxsalt") \
-        .localCheckpoint(eager=True)  # three consumers, compute once
+        .localCheckpoint(eager=False)  # three consumers, compute once
     full_counts = (pairs.filter(F.col("full"))
                    .groupBy("circle_id").agg(F.sum("ccnt").alias("cnt")))
     bnd = pairs.filter(~F.col("full")).select(
