@@ -51,7 +51,10 @@ LEAF_WRAP = 128
 # traversal is the python-loop cost and leaf scans are numpy — measured
 # at 128 the kNN/range kernels run 2-3x faster than at 32 with identical
 # (exact) results.
-INBALANCE_RATIO = 30  # percent, reference tree_node.hpp:127-131
+INBALANCE_RATIO = int(os.environ.get("INBALANCE_RATIO", "30"))
+# percent; the reference reads the same env override
+# (tree_node.hpp:118-124) — its summary suite sweeps inba 3/10/30
+# (script/run_summary_3inba.sh)
 TIGHTEN_MIN = int(os.environ.get("KDS_TIGHTEN_MIN", "32768"))
 # blobs at least this large tighten a caller-supplied kNN bound with
 # their own block-scan bound before searching (see knn())

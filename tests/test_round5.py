@@ -90,6 +90,21 @@ def test_gen_circles_d_shape():
     assert all(0 < c[-1] <= COORD_LIMIT // 2 for c in cs)
 
 
+def test_inbalance_ratio_env_override(monkeypatch):
+    """Reference parity: INBALANCE_RATIO is env-overridable
+    (tree_node.hpp:118-124; the summary suite sweeps inba 3/10/30)."""
+    from kdtree_spark import localtree as lt
+    pts = np.arange(200, dtype=np.int64).reshape(100, 2)
+    t = lt.LocalKDTree.build(pts, np.arange(100, dtype=np.int64))
+    t2 = t.with_updates(ins_pts=pts[:20] + 1_000,
+                        ins_ids=np.arange(1000, 1020, dtype=np.int64))
+    # churn 20% of 100: below the default 30 threshold, above 10
+    monkeypatch.setattr(lt, "INBALANCE_RATIO", 30)
+    assert not t2.needs_rebuild()
+    monkeypatch.setattr(lt, "INBALANCE_RATIO", 10)
+    assert t2.needs_rebuild()
+
+
 def test_registry_fits_sweep_budget():
     import __spark_entry__ as e
     q = e.queries()
