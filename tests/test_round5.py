@@ -90,6 +90,43 @@ def test_gen_circles_d_shape():
     assert all(0 < c[-1] <= COORD_LIMIT // 2 for c in cs)
 
 
+def test_knn_and_range_d9(spark):
+    """Mid-range dimension parity (the reference sweeps d in
+    {2,3,5,7,9,10,12,16}, tests/test.cpp:569-617): exact kNN + range
+    count at d=9 through the dims-keyed grid (3-D cell key)."""
+    from kdtree_spark.queries.knn import knn_join
+    from kdtree_spark.queries.ranges import range_count
+    d = 9
+    rng = np.random.default_rng(9)
+    n = 3000
+    arr = rng.integers(0, COORD_LIMIT, (n, d), dtype=np.int64)
+    cols = [f"c{j}" for j in range(d)]
+    pdf = pd.DataFrame(arr, columns=cols)
+    pdf.insert(0, "pid", np.arange(n, dtype=np.int64))
+    df = spark.createDataFrame(pdf)
+    idx = SpatialIndex.build(spark, df, grid=Grid(4, dims=3),
+                             coord_cols=tuple(cols))
+    # kNN k=5 for 12 queries vs brute force
+    qarr = rng.integers(0, COORD_LIMIT, (12, d), dtype=np.int64)
+    qpdf = pd.DataFrame(qarr, columns=cols)
+    qpdf.insert(0, "qid", np.arange(12, dtype=np.int64))
+    out = knn_join(idx, spark.createDataFrame(qpdf), 5).toPandas()
+    for qi in range(12):
+        dist = ((arr - qarr[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((pdf.pid.to_numpy(), dist))[:5]
+        got = out[out.qid == qi].sort_values("rank")
+        assert np.array_equal(got.nid.to_numpy(), order), qi
+        assert np.array_equal(got.dist_sq.to_numpy(np.int64), dist[order]), qi
+    # range count vs numpy over d-dim boxes
+    boxes = fixtures.gen_boxes_d(8, d, seed=19)
+    rc = (range_count(idx, boxes).toPandas()
+          .set_index("box_id")["cnt"].to_dict())
+    for b in boxes:
+        bid, lo, hi = b[0], np.array(b[1:1 + d]), np.array(b[1 + d:])
+        exp = int(((arr >= lo) & (arr <= hi)).all(axis=1).sum())
+        assert rc[bid] == exp, bid
+
+
 def test_inbalance_ratio_env_override(monkeypatch):
     """Reference parity: INBALANCE_RATIO is env-overridable
     (tree_node.hpp:118-124; the summary suite sweeps inba 3/10/30)."""
