@@ -172,6 +172,19 @@ def neardup_pairs(emb: DataFrame, tau: float = 0.4) -> DataFrame:
     (srp_topk / ivf_topk + pytest recall gates) are the honest scale
     path; exact threshold joins at low tau in high d are Θ(n²) by
     geometry, not by implementation.
+
+    An APPROXIMATE SRP pairs operator was also considered and rejected
+    (round 5): measured at sf0.01, all 59 qualifying pairs lie at
+    cosine 0.400-0.513 (none above 0.6 — there is no planted
+    high-cosine near-dup cluster), and at cos ~0.43 a sign bit agrees
+    with probability 1 - arccos(0.43)/pi ~ 0.64, so an 8-bit 4-table
+    union catches ~10% of qualifying pairs (~30% with Hamming-1
+    probing) — an operator that silently drops 70-90% of its answer is
+    worse than the explicit O(n²) one. SRP pairs become honest only
+    when the dedup threshold sits in the high-cosine regime
+    (tau >= ~0.9, bit-agreement >= 0.85), which this corpus does not
+    exercise; simhash_pairs covers that regime losslessly in Hamming
+    space.
     """
     spark = emb.sparkSession
     nb_blocks = _nblocks(emb)
