@@ -240,11 +240,17 @@ def _seed_enum(index: SpatialIndex, queries: DataFrame, cc: list, k: int
         "qid", *cc, f"{index.cell_sql_nd(cc)} AS cell")
     probes = index.probes().join(
         F.broadcast(home.select("cell").distinct()), "cell", "semi")
+    out_schema = (f"qid long, {coord_schema}, ub double, cell long, "
+                  f"fin0 boolean")
+    # guard columns derived from the declared schema so they cannot
+    # drift apart (the r5 fusion once widened the schema but not the
+    # guard, crashing the probes-only-key branch)
+    out_cols = [f.split()[0] for f in out_schema.split(", ")]
 
     def probe_enum(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame
                    ) -> pd.DataFrame:
         if len(qpdf) == 0:
-            return pd.DataFrame(columns=["qid", *cc, "ub", "cell"])
+            return pd.DataFrame(columns=out_cols)
         # -1.0 = unbounded (NOT NaN: pandas NaN becomes SQL NULL
         # through the Arrow hop and would slip every filter on ub)
         ub = np.full(len(qpdf), -1.0)
@@ -285,10 +291,7 @@ def _seed_enum(index: SpatialIndex, queries: DataFrame, cc: list, k: int
     # a lazy checkpoint runs the probe cogroup exactly once
     return (home.groupby("cell")
             .cogroup(probes.groupby("cell"))
-            .applyInPandas(
-                probe_enum,
-                f"qid long, {coord_schema}, ub double, cell long, "
-                f"fin0 boolean")
+            .applyInPandas(probe_enum, out_schema)
             .localCheckpoint(eager=False))
 
 

@@ -37,10 +37,16 @@ def run_leg(root: str) -> dict | None:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.setdefault("SPARK_GRAFT_CPUS", "32")
-    p = subprocess.run(
-        [sys.executable, os.path.join(root, "bench.py"),
-         "--queries", SUBSET],
-        cwd=root, env=env, capture_output=True, text=True, timeout=900)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(root, "bench.py"),
+             "--queries", SUBSET],
+            cwd=root, env=env, capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        # a co-tenant spike (the thing this script measures around) must
+        # cost one leg, not the whole interleaved run
+        print(f"leg timed out in {root}", file=sys.stderr)
+        return None
     for line in reversed(p.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):

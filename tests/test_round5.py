@@ -150,3 +150,24 @@ def test_registry_fits_sweep_budget():
     assert set(q) == set(o)
     # never-verified gates lead the sweep
     assert list(q)[:3] == ["ann_srp_lsh", "ann_ivf", "image_phash_dedup"]
+
+
+def test_probe_enum_empty_guard_schema(spark):
+    """The probes-only-key defensive branch of _seed_enum returns an
+    empty frame whose columns are DERIVED from the declared cogroup
+    schema (they once drifted apart when the r5 fusion widened the
+    schema but not the guard). This exercises the exact shape the
+    guard emits — an all-object-dtype empty pandas frame — through a
+    real applyInPandas hop against the same schema string."""
+    schema = "qid long, x long, y long, ub double, cell long, fin0 boolean"
+    cols = [f.split()[0] for f in schema.split(", ")]
+
+    def kernel(key, left, right):
+        return pd.DataFrame(columns=cols)
+
+    left = spark.createDataFrame([(1, 0, 0)], "cell long, qid long, x long")
+    right = spark.createDataFrame([(1, 9)], "cell long, v long")
+    out = (left.groupby("cell").cogroup(right.groupby("cell"))
+           .applyInPandas(kernel, schema))
+    assert out.count() == 0
+    assert out.columns == cols
