@@ -171,3 +171,57 @@ def test_probe_enum_empty_guard_schema(spark):
            .applyInPandas(kernel, schema))
     assert out.count() == 0
     assert out.columns == cols
+
+
+def test_knn_config_matrix(spark):
+    """Interaction sweep of the fused distributed kNN: d x k x dtype x
+    grid-key dims x duplicate floods crossed in one session, each
+    config exact (ids and distances) vs the numpy brute-force oracle.
+    The single-axis variants are covered elsewhere; this catches
+    interactions (e.g. duplicate-flood ties at k=17 through the fin0
+    bypass, f64 enum rounding, d=7 through a 3-D cell key)."""
+    from kdtree_spark import bruteforce as bf
+    from kdtree_spark.queries.knn import knn_join
+    configs = [
+        # (d, k, hi, fmode, grid)        - why
+        (2, 17, 40, False, Grid(8)),            # duplicate flood + ties
+        (3, 3, COORD_LIMIT, False, Grid(4, dims=3)),
+        (5, 17, COORD_LIMIT, False, Grid(3, dims=4)),
+        (2, 5, float(COORD_LIMIT), True, Grid(8)),   # f64 end to end
+        (7, 1, COORD_LIMIT, False, Grid(4, dims=3)),
+    ]
+    n, m = 2500, 40
+    for ci, (d, k, hi, fmode, grid) in enumerate(configs):
+        rng = np.random.default_rng(100 + ci)
+        if fmode:
+            arr = rng.uniform(0, hi, size=(n, d))
+            q = rng.uniform(0, hi, size=(m, d))
+        else:
+            arr = rng.integers(0, hi, size=(n, d), dtype=np.int64)
+            q = rng.integers(0, hi, size=(m, d), dtype=np.int64)
+        q[:8] = arr[:8]                  # on-point queries
+        q[8] = 0                         # domain corners / cell borders
+        q[9] = hi - (0.5 if fmode else 1)
+        cols = [f"c{j}" for j in range(d)]
+        pdf = pd.DataFrame(arr, columns=cols)
+        ids = (rng.permutation(n).astype(np.int64) * 7 + 1)
+        pdf.insert(0, "pid", ids)
+        idx = SpatialIndex.build(spark, spark.createDataFrame(pdf),
+                                 grid=grid, coord_cols=tuple(cols))
+        qpdf = pd.DataFrame(q, columns=cols)
+        qpdf.insert(0, "qid", np.arange(m, dtype=np.int64))
+        out = (knn_join(idx, spark.createDataFrame(qpdf), k)
+               .toPandas().sort_values(["qid", "rank"]))
+        assert len(out) == m * k, (ci, len(out))
+        gd, gi = bf.knn(arr, ids, q, k)
+        np.testing.assert_array_equal(
+            out["nid"].to_numpy(np.int64).reshape(m, k), gi,
+            err_msg=f"config {ci}")
+        if fmode:
+            np.testing.assert_allclose(
+                out["dist_sq"].to_numpy().reshape(m, k), gd,
+                err_msg=f"config {ci}")
+        else:
+            np.testing.assert_array_equal(
+                out["dist_sq"].to_numpy(np.int64).reshape(m, k),
+                gd.astype(np.int64), err_msg=f"config {ci}")
