@@ -225,3 +225,63 @@ def test_knn_config_matrix(spark):
             np.testing.assert_array_equal(
                 out["dist_sq"].to_numpy(np.int64).reshape(m, k),
                 gd.astype(np.int64), err_msg=f"config {ci}")
+
+
+def test_range_circle_config_matrix(spark):
+    """Range-side interaction sweep: box count + report + circle count
+    at (d, dtype, grid dims, duplicate floods) crossed in one session,
+    each exact vs numpy. Complements the kNN matrix above."""
+    from kdtree_spark.queries.ranges import (circle_count, range_count,
+                                             range_report)
+    configs = [
+        # (d, hi, fmode, grid)
+        (2, 40, False, Grid(8)),                 # duplicate flood
+        (3, COORD_LIMIT, False, Grid(4, dims=3)),
+        (5, COORD_LIMIT, False, Grid(3, dims=4)),
+        (2, float(COORD_LIMIT), True, Grid(8)),  # f64 end to end
+    ]
+    n = 2500
+    for ci, (d, hi, fmode, grid) in enumerate(configs):
+        rng = np.random.default_rng(200 + ci)
+        if fmode:
+            arr = rng.uniform(0, hi, size=(n, d))
+        else:
+            arr = rng.integers(0, hi, size=(n, d), dtype=np.int64)
+        cols = [f"c{j}" for j in range(d)]
+        pdf = pd.DataFrame(arr, columns=cols)
+        ids = rng.permutation(n).astype(np.int64) * 3 + 1
+        pdf.insert(0, "pid", ids)
+        idx = SpatialIndex.build(spark, spark.createDataFrame(pdf),
+                                 grid=grid, coord_cols=tuple(cols))
+        if hi == 40:  # flood domain: hand-sized boxes over the tiny cube
+            boxes = [(i, *([i] * d), *([i + 7] * d)) for i in range(8)]
+            circles = [(i, *([i * 4] * d), 9) for i in range(6)]
+        else:
+            boxes = fixtures.gen_boxes_d(8, d, seed=50 + ci)
+            circles = fixtures.gen_circles_d(6, d, seed=60 + ci)
+        lo = np.array([b[1:1 + d] for b in boxes], dtype=arr.dtype)
+        hb = np.array([b[1 + d:] for b in boxes], dtype=arr.dtype)
+        inbox = ((arr[None, :, :] >= lo[:, None, :])
+                 & (arr[None, :, :] <= hb[:, None, :])).all(axis=2)
+        # count
+        rc = (range_count(idx, boxes).toPandas()
+              .set_index("box_id")["cnt"].sort_index())
+        np.testing.assert_array_equal(rc.to_numpy(), inbox.sum(axis=1),
+                                      err_msg=f"config {ci} count")
+        # report: multiset of (box_id, pid)
+        rep = range_report(idx, boxes).toPandas()
+        exp_pairs = sorted((int(b), int(p))
+                           for bi, b in enumerate(r[0] for r in boxes)
+                           for p in ids[inbox[bi]])
+        got_pairs = sorted(zip(rep.box_id.astype(int), rep.pid.astype(int)))
+        assert got_pairs == exp_pairs, f"config {ci} report"
+        # circle
+        ctr = np.array([c[1:1 + d] for c in circles], dtype=np.float64)
+        r2 = np.array([c[-1] for c in circles], dtype=np.float64) ** 2
+        d2 = ((arr[None, :, :].astype(np.float64)
+               - ctr[:, None, :]) ** 2).sum(axis=2)
+        cc = (circle_count(idx, circles).toPandas()
+              .set_index("circle_id")["cnt"].sort_index())
+        np.testing.assert_array_equal(cc.to_numpy(),
+                                      (d2 <= r2[:, None]).sum(axis=1),
+                                      err_msg=f"config {ci} circle")
