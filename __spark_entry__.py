@@ -81,11 +81,13 @@ _RETIRED = frozenset({
 })
 
 # Never-driver-verified gates run first so even a truncated sweep
-# covers them: the 9 gates with no CORRECTNESS_r04 row, then the two
-# gates new this round.
+# covers them: the 9 gates with no CORRECTNESS_r04 row, then the
+# gates new this round (d=5 circle/k=100 and the salted hot-cell
+# fan-out path).
 _FRONT = ("ann_srp_lsh", "ann_ivf", "image_phash_dedup", "image_meta",
           "image_knn", "simhash", "simhash_pairs", "ann_cosine_topk",
-          "embedding_neardup", "circle_count_d5", "knn_k100_d5")
+          "embedding_neardup", "circle_count_d5", "knn_k100_d5",
+          "hot_cell_knn")
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

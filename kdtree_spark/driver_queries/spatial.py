@@ -204,6 +204,29 @@ def q_knn_ood(spark, sf_dir):
     return _q_knn(spark, sf_dir, 10, dist="uniform", qdist="varden")
 
 
+def q_hot_cell_knn(spark, sf_dir) -> DataFrame:
+    """North-rule skew path, oracle-gated: build over the varden
+    clusters with hot_cell_cap=512 so the dense cells salt into >=4
+    blobs and kNN takes the (cell, salt) fan-out branch
+    (queries/skew.py FANOUT_MIN_BLOBS) instead of the cold cell-keyed
+    cogroup — at the default 131,072-row cap no gate-scale cell ever
+    salts, so without this gate the salted query path had pytest
+    coverage only. Queries come from the uniform sample (also keeps
+    the result distinct from knn_varden's). Reference analogue:
+    kdTreeParallel.h's par_do subtree parallelism — one dense subtree
+    never serializes on one worker there either."""
+    key = (id(spark), sf_dir, "varden_hot512")
+    if key not in _INDEX_CACHE:
+        pts = points.load_points(spark, sf_dir, "varden").select(
+            "pid", "x", "y")
+        _INDEX_CACHE[key] = SpatialIndex.build(
+            spark, pts, grid=Grid(GRID_G), hot_cell_cap=512)
+    q = points.load_query_points(spark, sf_dir, "varden", qdist="uniform")
+    return (knn_join(_INDEX_CACHE[key], q, 10)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "nid", "dist_sq"))
+
+
 # -------------------------------------------------------------- batch updates
 
 def q_insert_then_count(spark, sf_dir) -> DataFrame:
@@ -1136,6 +1159,7 @@ QUERIES = {
     "knn_k100": q_knn_k100,
     "knn_varden": q_knn_varden,
     "knn_ood": q_knn_ood,
+    "hot_cell_knn": q_hot_cell_knn,
     "knn_k10_d3": q_knn_k10_d3,
     "insert_then_count": q_insert_then_count,
     "delete_then_count": q_delete_then_count,
@@ -1179,6 +1203,7 @@ ORACLES = {
     "knn_k100": _sql_knn(100),
     "knn_varden": _sql_knn(10, dist="varden"),
     "knn_ood": _sql_knn(10, dist="uniform", qdist="varden"),
+    "hot_cell_knn": _sql_knn(10, dist="varden", qdist="uniform"),
     "knn_k10_d3": sql_knn_k10_d3(),
     "insert_then_count": sql_insert_then_count(),
     "delete_then_count": sql_delete_then_count(),

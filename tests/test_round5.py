@@ -346,3 +346,38 @@ def test_update_salted_hot_cell_exact(spark):
     exp = ((live_p[None, :, :] >= lo[:, None, :])
            & (live_p[None, :, :] <= hb[:, None, :])).all(axis=2).sum(axis=1)
     np.testing.assert_array_equal(rc.to_numpy(), exp)
+
+
+def test_hot_cell_knn_gate_fans_out_and_is_exact(spark):
+    """The hot_cell_knn driver gate at sf0.01 must actually reach the
+    salted (cell, salt) fan-out branch — at least one cell with >=
+    FANOUT_MIN_BLOBS blobs — and still match brute force exactly.
+    (At the default 131,072-row cap no gate-scale cell salts, which is
+    why the gate pins hot_cell_cap=512.)"""
+    from kdtree_spark.driver_queries import spatial as dq
+    from kdtree_spark.queries.skew import FANOUT_MIN_BLOBS, hot_blobs
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = (dq.q_hot_cell_knn(spark, sf_dir).toPandas()
+           .sort_values(["qid", "rank"]))
+    idx = dq._INDEX_CACHE[(id(spark), sf_dir, "varden_hot512")]
+    maxblobs = (idx.cell_stats().agg(F.max("maxsalt")).collect()[0][0]) + 1
+    assert maxblobs >= FANOUT_MIN_BLOBS, maxblobs
+    assert hot_blobs(idx).count() >= FANOUT_MIN_BLOBS
+
+    pts = (points.load_points(spark, sf_dir, "varden")
+           .select("pid", "x", "y").toPandas())
+    qs = (points.load_query_points(spark, sf_dir, "varden", qdist="uniform")
+          .toPandas().sort_values("qid"))
+    px = pts.x.to_numpy(np.int64)
+    py = pts.y.to_numpy(np.int64)
+    pid = pts.pid.to_numpy(np.int64)
+    d = ((px[None, :] - qs.x.to_numpy(np.int64)[:, None]) ** 2
+         + (py[None, :] - qs.y.to_numpy(np.int64)[:, None]) ** 2)
+    order = np.lexsort((np.broadcast_to(pid, d.shape), d), axis=1)[:, :10]
+    np.testing.assert_array_equal(
+        got["nid"].to_numpy(np.int64).reshape(len(qs), 10),
+        pid[order])
+    np.testing.assert_array_equal(
+        got["dist_sq"].to_numpy(np.int64).reshape(len(qs), 10),
+        np.take_along_axis(d, order, axis=1))
