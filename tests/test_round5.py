@@ -175,23 +175,28 @@ def test_probe_enum_empty_guard_schema(spark):
 
 def test_knn_config_matrix(spark):
     """Interaction sweep of the fused distributed kNN: d x k x dtype x
-    grid-key dims x duplicate floods crossed in one session, each
-    config exact (ids and distances) vs the numpy brute-force oracle.
+    grid-key dims x duplicate floods x salted fan-out crossed in one
+    session, each config exact (ids, distances) vs numpy brute force.
     The single-axis variants are covered elsewhere; this catches
     interactions (e.g. duplicate-flood ties at k=17 through the fin0
     bypass, f64 enum rounding, d=7 through a 3-D cell key)."""
     from kdtree_spark import bruteforce as bf
     from kdtree_spark.queries.knn import knn_join
     configs = [
-        # (d, k, hi, fmode, grid)        - why
-        (2, 17, 40, False, Grid(8)),            # duplicate flood + ties
-        (3, 3, COORD_LIMIT, False, Grid(4, dims=3)),
-        (5, 17, COORD_LIMIT, False, Grid(3, dims=4)),
-        (2, 5, float(COORD_LIMIT), True, Grid(8)),   # f64 end to end
-        (7, 1, COORD_LIMIT, False, Grid(4, dims=3)),
+        # (d, k, hi, fmode, grid, cap)   - why
+        (2, 17, 40, False, Grid(8), None),      # duplicate flood + ties
+        (3, 3, COORD_LIMIT, False, Grid(4, dims=3), None),
+        (5, 17, COORD_LIMIT, False, Grid(3, dims=4), None),
+        (2, 5, float(COORD_LIMIT), True, Grid(8), None),  # f64 end to end
+        (7, 1, COORD_LIMIT, False, Grid(4, dims=3), None),
+        # salting crossed with high-d and f64: cap=8 over ~31 pts/cell
+        # puts every cell past FANOUT_MIN_BLOBS, so the whole batch
+        # takes the (cell, salt) fan-out branch
+        (5, 10, COORD_LIMIT, False, Grid(3, dims=4), 8),
+        (2, 5, float(COORD_LIMIT), True, Grid(4), 8),
     ]
     n, m = 2500, 40
-    for ci, (d, k, hi, fmode, grid) in enumerate(configs):
+    for ci, (d, k, hi, fmode, grid, cap) in enumerate(configs):
         rng = np.random.default_rng(100 + ci)
         if fmode:
             arr = rng.uniform(0, hi, size=(n, d))
@@ -206,8 +211,13 @@ def test_knn_config_matrix(spark):
         pdf = pd.DataFrame(arr, columns=cols)
         ids = (rng.permutation(n).astype(np.int64) * 7 + 1)
         pdf.insert(0, "pid", ids)
+        kw = {} if cap is None else {"hot_cell_cap": cap}
         idx = SpatialIndex.build(spark, spark.createDataFrame(pdf),
-                                 grid=grid, coord_cols=tuple(cols))
+                                 grid=grid, coord_cols=tuple(cols), **kw)
+        if cap is not None:
+            from kdtree_spark.queries.skew import FANOUT_MIN_BLOBS
+            assert (idx.cell_stats().agg(F.max("maxsalt")).collect()[0][0]
+                    + 1 >= FANOUT_MIN_BLOBS), ci
         qpdf = pd.DataFrame(q, columns=cols)
         qpdf.insert(0, "qid", np.arange(m, dtype=np.int64))
         out = (knn_join(idx, spark.createDataFrame(qpdf), k)
@@ -229,19 +239,21 @@ def test_knn_config_matrix(spark):
 
 def test_range_circle_config_matrix(spark):
     """Range-side interaction sweep: box count + report + circle count
-    at (d, dtype, grid dims, duplicate floods) crossed in one session,
-    each exact vs numpy. Complements the kNN matrix above."""
+    at (d, dtype, grid dims, duplicate floods, salted fan-out) crossed
+    in one session, each exact vs numpy. Complements the kNN matrix."""
     from kdtree_spark.queries.ranges import (circle_count, range_count,
                                              range_report)
     configs = [
-        # (d, hi, fmode, grid)
-        (2, 40, False, Grid(8)),                 # duplicate flood
-        (3, COORD_LIMIT, False, Grid(4, dims=3)),
-        (5, COORD_LIMIT, False, Grid(3, dims=4)),
-        (2, float(COORD_LIMIT), True, Grid(8)),  # f64 end to end
+        # (d, hi, fmode, grid, cap)
+        (2, 40, False, Grid(8), None),           # duplicate flood
+        (3, COORD_LIMIT, False, Grid(4, dims=3), None),
+        (5, COORD_LIMIT, False, Grid(3, dims=4), None),
+        (2, float(COORD_LIMIT), True, Grid(8), None),  # f64 end to end
+        # salted fan-out crossed with d=5 (count + report + circle)
+        (5, COORD_LIMIT, False, Grid(3, dims=4), 8),
     ]
     n = 2500
-    for ci, (d, hi, fmode, grid) in enumerate(configs):
+    for ci, (d, hi, fmode, grid, cap) in enumerate(configs):
         rng = np.random.default_rng(200 + ci)
         if fmode:
             arr = rng.uniform(0, hi, size=(n, d))
@@ -251,8 +263,13 @@ def test_range_circle_config_matrix(spark):
         pdf = pd.DataFrame(arr, columns=cols)
         ids = rng.permutation(n).astype(np.int64) * 3 + 1
         pdf.insert(0, "pid", ids)
+        kw = {} if cap is None else {"hot_cell_cap": cap}
         idx = SpatialIndex.build(spark, spark.createDataFrame(pdf),
-                                 grid=grid, coord_cols=tuple(cols))
+                                 grid=grid, coord_cols=tuple(cols), **kw)
+        if cap is not None:
+            from kdtree_spark.queries.skew import FANOUT_MIN_BLOBS
+            assert (idx.cell_stats().agg(F.max("maxsalt")).collect()[0][0]
+                    + 1 >= FANOUT_MIN_BLOBS), ci
         if hi == 40:  # flood domain: hand-sized boxes over the tiny cube
             boxes = [(i, *([i] * d), *([i + 7] * d)) for i in range(8)]
             circles = [(i, *([i * 4] * d), 9) for i in range(6)]
