@@ -84,3 +84,41 @@ def test_reopened_store_adopts_recorded_bucket_count(store_env):
     reopened.nb = 999
     with pytest.raises(ValueError, match="bucket-count mismatch"):
         reopened.commit(idx, parent=store.current(), touched_cells=[0])
+
+
+def test_salted_index_snapshot_roundtrip(spark, sf_dir, tmp_path):
+    """Commit/load a SALTED index: the multi-blob (cell, salt) structure
+    must survive the snapshot byte-for-byte at the blob level, and kNN
+    through the fan-out branch on the LOADED index must stay exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kdtree_spark import bruteforce as bf
+    from kdtree_spark.queries.skew import FANOUT_MIN_BLOBS
+
+    pts_pdf = (points.load_points(spark, sf_dir, "uniform")
+               .select("pid", "x", "y").toPandas())
+    idx = SpatialIndex.build(spark, spark.createDataFrame(pts_pdf),
+                             grid=Grid(2), hot_cell_cap=256)
+    assert (idx.cell_stats().agg(F.max("maxsalt")).collect()[0][0] + 1
+            >= FANOUT_MIN_BLOBS)
+    store = SnapshotStore(str(tmp_path), nbuckets=4)
+    store.commit(idx)
+    back = store.load(spark)
+    blobs = lambda i: (i.df.groupBy("cell", "salt")
+                       .agg(F.sum("cnt").alias("cnt")).toPandas()
+                       .sort_values(["cell", "salt"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(blobs(idx), blobs(back))
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 1_000_000, size=(12, 2)).astype(np.int64)
+    qdf = spark.createDataFrame(pd.DataFrame(
+        {"qid": np.arange(12, dtype=np.int64), "x": q[:, 0], "y": q[:, 1]}))
+    got = (knn_join(back, qdf, 10).toPandas()
+           .sort_values(["qid", "rank"]))
+    ed, ei = bf.knn(pts_pdf[["x", "y"]].to_numpy(np.int64),
+                    pts_pdf.pid.to_numpy(np.int64), q, 10)
+    np.testing.assert_array_equal(
+        got["nid"].to_numpy(np.int64).reshape(12, 10), ei)
+    np.testing.assert_array_equal(
+        got["dist_sq"].to_numpy(np.int64).reshape(12, 10),
+        ed.astype(np.int64))
