@@ -180,6 +180,19 @@ def main() -> None:
                         f"FROM _bench_li WHERE {points.QUERY_FILTER_SQL}")
                     extras[f"knn_k10_{dname}_cells_per_query"] = round(
                         knn_candidates(idxd, qd, 10).count() / nq, 2)
+            # salted fan-out path (extras-only so the headline sum stays
+            # comparable round-over-round): trial 1 includes the
+            # hot_cell_cap=512 varden build, trial 2 reuses the cached
+            # salted index and times the (cell, salt) fan-out query alone
+            t0 = time.time()
+            dq.q_hot_cell_knn(spark, sf_dir).count()
+            extras["hot_cell_knn_build_and_query_sec"] = round(
+                time.time() - t0, 3)
+            t0 = time.time()
+            dq.q_hot_cell_knn(spark, sf_dir).count()
+            hot2 = time.time() - t0
+            extras["hot_cell_knn_query_sec"] = round(hot2, 3)
+            extras["hot_cell_knn_q_per_sec"] = round(nq / hot2, 1)
             # spatial family done: drop its caches so pipeline timings
             # aren't skewed by memory pressure from index/blob caches
             spark.catalog.clearCache()
