@@ -1,5 +1,6 @@
-"""Sustained multi-process scaling probe of the two hot kernels ALONE
-(`LocalKDTree.build`, `LocalKDTree.knn`) — no Spark, no JVM.
+"""Sustained multi-process scaling probe of the three hot kernels ALONE
+(`LocalKDTree.build`, `LocalKDTree.knn`, `LocalKDTree.range_count`) —
+no Spark, no JVM.
 
 Separates the engine's own compute from Spark machinery + host
 oversubscription in the BENCH.md scaling argument: each process builds
@@ -65,6 +66,28 @@ def _knn_worker(seed: int) -> float:
     return nq / (time.time() - t0)
 
 
+def _range_worker(seed: int) -> float:
+    import numpy as np
+
+    from kdtree_spark.localtree import LocalKDTree
+    rng = np.random.default_rng(seed)
+    pts = rng.integers(0, 62_500, size=(N_BLOB, 2)).astype(np.int64)
+    ids = np.arange(N_BLOB, dtype=np.int64)
+    tree = LocalKDTree.build(pts, ids)
+    # reference rangeCountFix shape: boxes sized for ~100-point hits
+    # (side ~ sqrt(100/density) of the 62,500^2 blob domain)
+    side = int(62_500 * (100 / N_BLOB) ** 0.5)
+    lo = rng.integers(0, 62_500 - side, size=(BATCH, 2)).astype(np.int64)
+    boxes = np.hstack([lo, lo + side])
+    tree.range_count(boxes[:256])  # warm
+    t0 = time.time()
+    nq = 0
+    while time.time() - t0 < SECONDS:
+        tree.range_count(boxes)
+        nq += BATCH
+    return nq / (time.time() - t0)
+
+
 def probe(worker, procs: int) -> float:
     with mp.Pool(procs) as p:
         rates = p.map(worker, range(procs))
@@ -74,7 +97,8 @@ def probe(worker, procs: int) -> float:
 def main() -> None:
     out: dict = {"n_blob": N_BLOB, "k": K, "seconds": SECONDS}
     for name, worker in (("build_rows_per_sec", _build_worker),
-                         ("knn_q_per_sec", _knn_worker)):
+                         ("knn_q_per_sec", _knn_worker),
+                         ("range_q_per_sec", _range_worker)):
         for procs in (2, 8):
             out[f"{name}_p{procs}"] = round(probe(worker, procs), 1)
         out[f"{name}_eff_2to8"] = round(
