@@ -21,7 +21,8 @@ varden:   64 cluster centers (hashed from l_partkey) with per-cluster
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 # -- shared arithmetic (same text works in Spark SQL and DuckDB) --------------
 
@@ -262,6 +263,84 @@ def sweep_delete_sql(table: str, step: int) -> str:
 
 # probe set for the H9 interleaved build-and-query workload (~0.1%)
 PROBE_FILTER_SQL = f"({PID_SQL} % 1009 = 7)"
+
+
+# -- reference ASCII .in point files ------------------------------------------
+
+_PARTITION_MASK = (1 << 33) - 1  # monotonically_increasing_id layout
+
+
+def read_ascii_points(spark: SparkSession, path: str, dtype: str = "int64",
+                      validate: bool = True) -> DataFrame:
+    """Distributed reader for the reference's ASCII point files.
+
+    Format (`tests/data_generate.cpp:55-60`): a header line ``N Dim``
+    followed by one point per line of ``Dim`` whitespace-separated
+    coordinates; a point's id is its 0-based position in file order
+    (`tests/testFramework.h:993-1023` ``read_points`` assigns
+    ``wp[i].id = i``). The reference tokenizes the whole file, so any
+    whitespace layout is legal there; this reader supports the layout
+    its own generator emits — line-per-point — which is what every
+    ``.in`` file under `script/` uses.
+
+    Spark-first at scale: ``spark.read.text`` splits the file into
+    byte-range partitions that scan in parallel; the exact file-order
+    id is reconstructed declaratively from
+    ``monotonically_increasing_id``'s ``(partition << 33) | row``
+    layout — per-partition row counts (one tiny agg: #splits rows), a
+    running-sum window over that tiny frame, and a broadcast join back.
+    No RDDs, no per-row Python, no driver materialization beyond the
+    2-token header. For a multi-file directory the id order follows
+    Spark's file listing; the reference format is single-file.
+
+    Returns ``(pid, <dim_cols(d)>)`` — the same schema family as
+    `load_points`, so the result feeds `SpatialIndex.build` directly.
+    dtype: "int64" (reference default `long`) or "float64"
+    (`comparator.h` double mode).
+    """
+    text = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("mid"), "value")
+    header = text.where(F.col("mid") == 0).head()
+    if header is None:
+        raise ValueError(f"empty point file: {path}")
+    n_decl, d = (int(t) for t in header.value.split()[:2])
+    if not 1 <= d <= len(_DIM_PRIMES):
+        raise ValueError(f"unsupported dim {d} in {path}")
+
+    text = text.select(
+        F.shiftright("mid", 33).alias("part"),
+        F.col("mid").bitwiseAND(F.lit(_PARTITION_MASK)).alias("local"),
+        "value")
+    counts = text.groupBy("part").agg(F.count("*").alias("n"))
+    w = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "part", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"))
+
+    typ = "bigint" if dtype in ("int64", "long") else "double"
+    cols = dim_cols(d) if d >= 2 else ("x",)
+    toks = F.split(F.trim("value"), r"\s+")
+    pts = (text.join(F.broadcast(offsets), "part")
+           .select((F.col("off") + F.col("local")).alias("line"),
+                   toks.alias("toks"))
+           .where((F.col("line") >= 1) & (F.size("toks") >= d)
+                  & (F.element_at("toks", 1) != ""))
+           .select((F.col("line") - 1).alias("pid"),
+                   # try_cast: malformed coords surface as nulls for the
+                   # validation agg instead of an ANSI cast abort
+                   *[F.element_at("toks", i + 1).try_cast(typ).alias(c)
+                     for i, c in enumerate(cols)]))
+    if validate:
+        chk = pts.agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+              for c in cols]).head()
+        if chk.n != n_decl:
+            raise ValueError(
+                f"{path}: header declares {n_decl} points, parsed {chk.n}")
+        bad = [c for c in cols if chk[f"null_{c}"]]
+        if bad:
+            raise ValueError(f"{path}: unparseable {typ} coords in {bad}")
+    return pts
 
 
 # -- arbitrary-n synthetic points (bench scale legs) --------------------------
