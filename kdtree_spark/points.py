@@ -290,8 +290,11 @@ def read_ascii_points(spark: SparkSession, path: str, dtype: str = "int64",
     layout — per-partition row counts (one tiny agg: #splits rows), a
     running-sum window over that tiny frame, and a broadcast join back.
     No RDDs, no per-row Python, no driver materialization beyond the
-    2-token header. For a multi-file directory the id order follows
-    Spark's file listing; the reference format is single-file.
+    2-token header. Single-file contract (which is what the format is):
+    Spark emits one split per contiguous byte range and stable-sorts
+    splits by length descending, so a single file's equal-sized splits
+    keep offset order and the short tail lands last — ids are exact.
+    Multi-file directories get no such ordering guarantee.
 
     Returns ``(pid, <dim_cols(d)>)`` — the same schema family as
     `load_points`, so the result feeds `SpatialIndex.build` directly.
@@ -341,6 +344,42 @@ def read_ascii_points(spark: SparkSession, path: str, dtype: str = "int64",
         if bad:
             raise ValueError(f"{path}: unparseable {typ} coords in {bad}")
     return pts
+
+
+def write_ascii_points(df: DataFrame, path: str,
+                       coord_cols: tuple | None = None) -> int:
+    """Matching sink for the reference's point-file writer
+    (`tests/test.cpp:224-234` ``writeToFile``): header ``N Dim``, one
+    point per line, a trailing space after every coord, ordered by pid
+    (file position IS the id in this format, so pid order is the only
+    faithful serialization).
+
+    The format is inherently a single sequential file — the reference's
+    own writer is a single-node ofstream loop — so this is a bounded
+    export path, not a 100 TB sink (Parquet is the engine's scale
+    format). It streams via ``toLocalIterator`` with a pre-sorted,
+    line-formatted plan: the sort, the coord formatting, and the
+    concat all run distributed JVM-side; the driver holds one
+    partition's lines at a time, never the table. Returns N.
+    """
+    cols = (list(coord_cols) if coord_cols is not None
+            else [c for c in df.columns if c != "pid"])
+    n = df.count()
+    d = len(cols)
+    # int64 coords must not render as "1.0E6"; doubles use repr-faithful
+    # formatting on the JVM side via CAST(... AS STRING)
+    line = F.concat_ws("", *[x for c in cols
+                             for x in (F.col(c).cast("string"), F.lit(" "))])
+    # orderBy = range partitioning + per-partition sort; toLocalIterator
+    # walks partitions in order, so the stream is globally pid-sorted.
+    # Double->string is Java's shortest-round-trip form (bit-exact on
+    # re-read; scientific notation parses fine in both engines).
+    ordered = df.orderBy("pid").select(line.alias("ln"))
+    with open(path, "w") as f:
+        f.write(f"{n} {d}\n")
+        for row in ordered.toLocalIterator():
+            f.write(row.ln + "\n")
+    return n
 
 
 # -- arbitrary-n synthetic points (bench scale legs) --------------------------

@@ -91,6 +91,38 @@ def test_ascii_validation_errors(spark, tmp_path):
         points.read_ascii_points(spark, str(p3))
 
 
+def test_ascii_writer_roundtrip(spark, tmp_path):
+    """write_ascii_points emits the reference writeToFile layout
+    (test.cpp:224-234) and read_ascii_points recovers it exactly —
+    int64 and float64, pid order = file order."""
+    pts = points.synth_points(spark, 400).selectExpr(
+        "CAST(pid % 400 AS BIGINT) AS pid", "x", "y")
+    # make pids the contiguous 0..n-1 the positional format encodes
+    pts = (pts.groupBy("pid").agg({"x": "min", "y": "min"})
+           .selectExpr("pid", "`min(x)` AS x", "`min(y)` AS y"))
+    p = str(tmp_path / "out_i.in")
+    n = points.write_ascii_points(pts, p)
+    assert n == pts.count()
+    first = open(p).readline().split()
+    assert first == [str(n), "2"]
+    back = points.read_ascii_points(spark, p).toPandas()
+    orig = pts.toPandas().sort_values("pid").reset_index(drop=True)
+    back = back.sort_values("pid").reset_index(drop=True)
+    assert back.equals(orig[["pid", "x", "y"]].astype({"pid": "int64"}))
+
+    # float64: shortest-round-trip rendering must re-read bit-exactly
+    fpts = pts.selectExpr(
+        "pid", "x + pid / CAST(997 AS DOUBLE) AS x",
+        "y + pid / CAST(991 AS DOUBLE) AS y")
+    pf = str(tmp_path / "out_f.in")
+    points.write_ascii_points(fpts, pf)
+    fback = (points.read_ascii_points(spark, pf, dtype="float64")
+             .toPandas().sort_values("pid").reset_index(drop=True))
+    forig = fpts.toPandas().sort_values("pid").reset_index(drop=True)
+    assert np.array_equal(fback[["x", "y"]].to_numpy(),
+                          forig[["x", "y"]].to_numpy())
+
+
 def test_ascii_points_feed_the_index(spark, tmp_path):
     """End-to-end: .in file -> index build -> exact kNN vs brute force."""
     from kdtree_spark.grid import Grid
