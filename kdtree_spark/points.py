@@ -382,6 +382,42 @@ def write_ascii_points(df: DataFrame, path: str,
     return n
 
 
+def write_knn_graph(knn: DataFrame, path: str, n: int, k: int) -> int:
+    """H10 sink parity: serialize a kNN-join result as the reference's
+    graph file (`tests/testFramework.h:779-814` ``generate_knn``) — the
+    PBBS ``WeightedAdjacencyGraph`` layout: header line, n, m = n*k,
+    then n offset lines (i*k), m edge lines (neighbor ids, rank order
+    per source), m weight lines (the stored distance metric; squared L2
+    here, same as the reference's ``nn_pair.second``).
+
+    The format is positional: row i's edges are offsets [i*k, (i+1)*k),
+    so qids MUST be the contiguous 0..n-1 domain (remap before calling;
+    `read_ascii_points` pids already are). `knn` is knn_join output
+    (qid, rank, nid, dist_sq). Ordering/formatting run JVM-side; the
+    driver streams two pid-ordered passes (edges, then weights) —
+    offsets are pure arithmetic. Bounded export path, like
+    `write_ascii_points`. Returns m."""
+    m = n * k
+    cnt = knn.count()
+    if cnt != m:
+        raise ValueError(f"expected n*k = {m} result rows, got {cnt} "
+                         "(every query needs exactly k neighbours)")
+    ordered = knn.orderBy("qid", "rank")
+    with open(path, "w") as f:
+        f.write("WeightedAdjacencyGraph\n")
+        f.write(f"{n}\n{m}\n")
+        for i in range(n):
+            f.write(f"{i * k}\n")
+        for row in ordered.select(
+                F.col("nid").cast("string").alias("ln")).toLocalIterator():
+            f.write(row.ln + "\n")
+        for row in ordered.select(
+                F.col("dist_sq").cast("string").alias("ln")
+                ).toLocalIterator():
+            f.write(row.ln + "\n")
+    return m
+
+
 # -- arbitrary-n synthetic points (bench scale legs) --------------------------
 # The driver's parquet stops at sf0.1 (~600k lineitem rows); larger-n
 # benchmark legs synthesize points distributedly from spark.range with

@@ -123,6 +123,44 @@ def test_ascii_writer_roundtrip(spark, tmp_path):
                           forig[["x", "y"]].to_numpy())
 
 
+def test_knn_graph_writer(spark, tmp_path):
+    """H10 sink: WeightedAdjacencyGraph layout (testFramework.h:779-814)
+    — header/n/m, i*k offsets, rank-ordered edges, then weights —
+    checked against the brute-force oracle."""
+    from kdtree_spark.grid import Grid
+    from kdtree_spark.index import SpatialIndex
+    from kdtree_spark.queries.knn import knn_join
+
+    rng = np.random.default_rng(23)
+    n, k = 300, 4
+    arr = rng.integers(0, 1_000_000, size=(n, 2), dtype=np.int64)
+    pts = spark.createDataFrame(
+        [(int(i), int(x), int(y)) for i, (x, y) in enumerate(arr)],
+        "pid long, x long, y long")
+    idx = SpatialIndex.build(spark, pts, grid=Grid(3))
+    res = knn_join(idx, pts.selectExpr("pid AS qid", "x", "y"), k)
+    gpath = str(tmp_path / "graph.wag")
+    m = points.write_knn_graph(res, gpath, n, k)
+    assert m == n * k
+
+    lines = open(gpath).read().splitlines()
+    assert lines[0] == "WeightedAdjacencyGraph"
+    assert lines[1] == str(n) and lines[2] == str(m)
+    offs = [int(v) for v in lines[3:3 + n]]
+    assert offs == [i * k for i in range(n)]
+    edges = np.array([int(v) for v in lines[3 + n:3 + n + m]])
+    weights = np.array([float(v) for v in lines[3 + n + m:3 + n + 2 * m]])
+    assert len(weights) == m
+    exp_d, exp_i = bf.knn(arr, np.arange(n), arr, k)
+    assert np.array_equal(edges.reshape(n, k), exp_i)
+    assert np.allclose(weights.reshape(n, k), exp_d)
+
+    # wrong row count is refused (a query short of k neighbours would
+    # silently shift every later query's edge block)
+    with pytest.raises(ValueError, match="expected n\\*k"):
+        points.write_knn_graph(res.limit(50), gpath, n, k)
+
+
 def test_ascii_points_feed_the_index(spark, tmp_path):
     """End-to-end: .in file -> index build -> exact kNN vs brute force."""
     from kdtree_spark.grid import Grid
