@@ -139,6 +139,15 @@ class SnapshotStore:
 
         row = index.df.agg(F.sum("cnt").alias("t"), F.count("*").alias("c")
                            ).collect()[0]
+        # per-partition lineage: live cell/row counts for EVERY bucket at
+        # this version (one distributed agg over the O(cells) stats rows,
+        # collect is O(nbuckets)); untouched buckets keep serving parent
+        # files, so the stats come from the live table, not the files
+        per_bucket = {
+            int(r["bucket"]): (int(r["cells"]), int(r["rows"] or 0))
+            for r in df.groupBy("bucket").agg(
+                F.count("*").alias("cells"),
+                F.sum("cnt").alias("rows")).collect()}
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -151,7 +160,13 @@ class SnapshotStore:
             "cells": int(row["c"]),
             "buckets": {str(b): p for b, p in buckets.items()},
             "buckets_written": len(dirty),
+            "bucket_stats": {
+                str(b): {"cells": c, "rows": r}
+                for b, (c, r) in sorted(per_bucket.items())},
         }
+        if sum(r for _, r in per_bucket.values()) != manifest["total_rows"]:
+            raise RuntimeError("per-bucket lineage rows disagree with the "
+                               "table total — refusing to publish")
         os.makedirs(snapdir, exist_ok=True)
         with open(self._manifest_path(sid), "w") as f:
             json.dump(manifest, f, indent=1)

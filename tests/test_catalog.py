@@ -62,6 +62,17 @@ def test_incremental_commit_reuses_untouched_buckets(store_env):
     log = store.log()
     assert [e["snapshot_id"] for e in log][-2:] == [parent, sid2]
     assert log[-1]["parent_id"] == parent
+    # per-partition lineage: every bucket's live cell/row counts are in
+    # the manifest and agree with an independent recount of the table
+    bs = man["bucket_stats"]
+    truth = {r["b"]: (r["c"], r["r"]) for r in
+             idx2.df.selectExpr(f"pmod(cell, {store.nb}) AS b",
+                                "cnt").groupBy("b")
+             .agg({"*": "count", "cnt": "sum"})
+             .selectExpr("b", "`count(1)` AS c", "`sum(cnt)` AS r")
+             .collect()}
+    assert {int(k): (v["cells"], v["rows"]) for k, v in bs.items()} == truth
+    assert sum(v["rows"] for v in bs.values()) == man["total_rows"]
 
 
 def test_loaded_snapshot_answers_queries(store_env):
