@@ -34,7 +34,15 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True,
-                    help="directory with lineitem.parquet (point source)")
+                    help="directory with lineitem.parquet (point source), "
+                         "or a reference-format ASCII .in point file when "
+                         "--input-format=ascii")
+    ap.add_argument("--input-format", choices=("parquet", "ascii"),
+                    default="parquet",
+                    help="ascii = the reference's 'N Dim' point files "
+                         "(points.read_ascii_points); queries are the "
+                         "reference's convention of a ~1%% prefix of the "
+                         "data itself (testFramework.h:25,471-521)")
     ap.add_argument("--output", required=True,
                     help="where to write the metrics JSON")
     ap.add_argument("--grid", type=int, default=8,
@@ -64,8 +72,11 @@ def main() -> None:
     from kdtree_spark.queries.ranges import range_count
 
     metrics: dict = {"stages": {}, "throughput": {}}
-    pts = points.load_points(spark, args.sf_dir, "uniform") \
-        .select("pid", "x", "y")
+    if args.input_format == "ascii":
+        pts = points.read_ascii_points(spark, args.sf_dir)
+    else:
+        pts = points.load_points(spark, args.sf_dir, "uniform") \
+            .select("pid", "x", "y")
     n = pts.count()
     metrics["rows"] = n
 
@@ -94,7 +105,12 @@ def main() -> None:
         metrics["manifest"]["snapshot_id"] = snap
         idx = store.load(spark)  # prove the checkpoint round-trip
 
-    qdf = points.load_query_points(spark, args.sf_dir, "uniform")
+    if args.input_format == "ascii":
+        # reference convention: query with a ~1% prefix of the data
+        qdf = pts.filter(pts.pid % 101 == 7).selectExpr(
+            "pid AS qid", *[c for c in pts.columns if c != "pid"])
+    else:
+        qdf = points.load_query_points(spark, args.sf_dir, "uniform")
     nq = qdf.count()
     t0 = time.time()
     knn_rows = knn_join(idx, qdf, args.k).count()

@@ -42,3 +42,32 @@ def test_spark_submit_job(tmp_path):
     assert (tmp_path / "snaps" / "CURRENT").exists()
     # k=10 kNN over the query set: exactly 10 rows per query
     assert m["knn_rows"] % 10 == 0
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_ascii_input(tmp_path):
+    """Same launch path over a reference-format .in point file."""
+    import numpy as np
+    rng = np.random.default_rng(29)
+    arr = rng.integers(0, 1_000_000, size=(5000, 2), dtype=np.int64)
+    infile = tmp_path / "u5000_2.in"
+    infile.write_text(
+        "5000 2\n" + "\n".join(f"{x} {y} " for x, y in arr) + "\n")
+    zip_path = subprocess.run(
+        [os.path.join(ROOT, "scripts", "package.sh")],
+        check=True, capture_output=True, text=True).stdout.strip()
+    out = tmp_path / "metrics.json"
+    subprocess.run(
+        ["spark-submit", "--master", "local[8]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.driver.memory=8g",
+         "--py-files", os.path.join(ROOT, zip_path),
+         os.path.join(ROOT, "scripts", "submit_job.py"),
+         "--sf-dir", str(infile), "--input-format", "ascii",
+         "--grid", "4", "--output", str(out)],
+        check=True, capture_output=True, text=True, timeout=600)
+    m = json.loads(out.read_text())
+    assert m["rows"] == 5000
+    assert m["knn_rows"] % 10 == 0 and m["knn_rows"] > 0
