@@ -5,11 +5,15 @@ synthesized deterministically at small scale, with real Spark plumbing —
 generation, decode, feature-extraction and perceptual-hash kernels all
 run as vectorized numpy inside mapInPandas over Arrow batches.
 
-Codecs: 'raw' (packed RGB) and 'rawz' (zlib-compressed RGB) are real and
-lossless (so decoded-pixel PSNR is infinite >= 40 dB by construction).
-'jpeg'/'png' decode is STUBBED with NotImplementedError — the image
-libraries are not in this container; the Spark-side plumbing (schema,
-partitioning, batch shapes) is identical for any codec.
+Codecs: 'raw' (packed RGB), 'rawz' (zlib-compressed RGB) and 'png'
+(pure-stdlib encoder/decoder below — PNG is just zlib + per-scanline
+filters + CRC chunks) are real and lossless (decoded-pixel PSNR is
+infinite >= 40 dB by construction). 'jpeg' decode remains STUBBED with
+NotImplementedError — a DCT codec genuinely needs an image library this
+container lacks; the Spark-side plumbing (schema, partitioning, batch
+shapes) is identical for any codec. The synthesized table keeps its
+raw/rawz fmt split (frozen with the DuckDB oracles); png rides the same
+decode/feature/resize paths, tested separately.
 
 Spatial link (the raster<->vector story of BASELINE.json): every image
 carries a deterministic centroid (cx, cy) in the kd-tree coordinate
@@ -30,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 IMAGE_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                 "caption string, phash long")
 
-LOSSLESS_FMTS = ("raw", "rawz")
+LOSSLESS_FMTS = ("raw", "rawz", "png")
 
 # centroid derivation (same text in Spark SQL and DuckDB; % on
 # non-negative operands agrees across engines)
@@ -44,8 +48,119 @@ H_SQL = "(16 + (length(text) * 65521) % 17)"
 
 # ----------------------------------------------------------------- codecs
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _png_encode(px: np.ndarray) -> bytes:
+    """Minimal standards-conformant PNG writer: 8-bit truecolor
+    (color type 2), filter 0 on every scanline, no interlace. Readable
+    by any PNG decoder."""
+    import struct
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter byte 0 prepended per scanline
+    rows = np.empty((h, 1 + w * 3), np.uint8)
+    rows[:, 0] = 0
+    rows[:, 1:] = px.reshape(h, w * 3)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Reverse the five PNG scanline filters (spec §6). Filters 0/2 are
+    numpy-vectorized; 1/3/4 carry a true left-to-right data dependency,
+    so they run as per-byte loops over one scanline (codec-local cost,
+    bounded by image width — not a Spark hot-path kernel)."""
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:      # Up
+            line = bytearray((np.frombuffer(bytes(line), np.uint8)
+                              + np.frombuffer(bytes(prev), np.uint8))
+                             .astype(np.uint8).tobytes())
+        elif f == 1:      # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 3:      # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:      # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return out
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """Decode 8-bit gray / RGB / RGBA PNG (no interlace) to (h, w, 3)."""
+    import struct
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        ln, tag = struct.unpack(">I4s", data[pos:pos + 8])
+        payload = data[pos + 8:pos + 8 + ln]
+        if (zlib.crc32(tag + payload) & 0xFFFFFFFF) != struct.unpack(
+                ">I", data[pos + 8 + ln:pos + 12 + ln])[0]:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/compression {comp} unsupported")
+    if inter != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    nch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel payload size mismatch")
+    px = (np.frombuffer(bytes(_png_defilter(raw, h, stride, nch)), np.uint8)
+          .reshape(h, w, nch))
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif nch == 4:
+        px = px[:, :, :3]
+    return px
+
+
 def encode_pixels(px: np.ndarray, fmt: str) -> bytes:
     """px: (h, w, 3) uint8 -> bytes in the given format."""
+    if fmt == "png":
+        return _png_encode(px)
     raw = px.tobytes()
     if fmt == "raw":
         return raw
@@ -56,7 +171,13 @@ def encode_pixels(px: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_pixels(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """bytes -> (h, w, 3) uint8. Lossless for raw/rawz."""
+    """bytes -> (h, w, 3) uint8. Lossless for raw/rawz/png."""
+    if fmt == "png":
+        px = _png_decode(bytes(data))
+        if px.shape[:2] != (h, w):
+            raise ValueError(f"PNG is {px.shape[1]}x{px.shape[0]}, "
+                             f"metadata says {w}x{h}")
+        return px
     if fmt == "raw":
         buf = data
     elif fmt == "rawz":

@@ -24,6 +24,9 @@ def test_codec_roundtrip_and_psnr():
     with pytest.raises(NotImplementedError):
         im.encode_pixels(px, "jpeg")
     with pytest.raises(NotImplementedError):
+        im.decode_pixels(b"x", "jpeg", 1, 1)
+    # png is a real codec now; garbage is a format error, not a stub
+    with pytest.raises(ValueError, match="not a PNG"):
         im.decode_pixels(b"x", "png", 1, 1)
 
 
@@ -64,6 +67,100 @@ def test_synth_table_contract(spark, sf_dir):
         assert np.array_equal(
             im.decode_pixels(bytes(r.bytes), r.fmt, int(r.w), int(r.h)), px)
         assert 0 <= r.cx < 1_000_000 and 0 <= r.cy < 1_000_000
+
+
+def _png_forward_filter(f, line, prev, bpp):
+    """Forward PNG scanline filter (spec §6) for decoder tests."""
+    out = bytearray([f])
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            v = line[i]
+        elif f == 1:
+            v = (line[i] - a) & 0xFF
+        elif f == 2:
+            v = (line[i] - b) & 0xFF
+        elif f == 3:
+            v = (line[i] - ((a + b) >> 1)) & 0xFF
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = (line[i] - pr) & 0xFF
+        out.append(v)
+    return bytes(out)
+
+
+def _craft_png(px, ctype, filters):
+    """Hand-assemble a PNG with chosen per-scanline filters."""
+    import struct
+    import zlib
+    h, w = px.shape[:2]
+    nch = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * nch)
+    raw = b""
+    prev = bytes(w * nch)
+    for y in range(h):
+        line = bytes(flat[y].tolist())
+        raw += _png_forward_filter(filters[y % len(filters)],
+                                   line, prev, nch)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (im._PNG_SIG + im._png_chunk(b"IHDR", ihdr)
+            + im._png_chunk(b"IDAT", zlib.compress(raw))
+            + im._png_chunk(b"IEND", b""))
+
+
+def test_png_all_filters_and_color_types():
+    """The decoder must reverse every spec filter (0-4) and normalize
+    gray / RGB / RGBA to (h, w, 3)."""
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = im._png_decode(_craft_png(rgb, 2, filters))
+        assert np.array_equal(got, rgb), filters
+    gray = rng.integers(0, 256, size=(9, 7, 1), dtype=np.uint8)
+    g3 = im._png_decode(_craft_png(gray, 0, [4]))
+    assert np.array_equal(g3, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(6, 8, 4), dtype=np.uint8)
+    a3 = im._png_decode(_craft_png(rgba, 6, [3]))
+    assert np.array_equal(a3, rgba[:, :, :3])
+
+
+def test_png_error_paths():
+    import pytest as _pt
+    px = im.render_pixels(7, 10, 10)
+    good = im.encode_pixels(px, "png")
+    with _pt.raises(ValueError, match="not a PNG"):
+        im._png_decode(b"JUNK" + good)
+    corrupted = bytearray(good)
+    corrupted[20] ^= 0xFF  # flip an IHDR payload byte -> CRC mismatch
+    with _pt.raises(ValueError, match="CRC"):
+        im._png_decode(bytes(corrupted))
+    with _pt.raises(ValueError, match="metadata says"):
+        im.decode_pixels(good, "png", 5, 5)
+
+
+def test_png_through_spark_pipeline(spark):
+    """png rows ride the same decode/feature/resize mapInPandas paths
+    as raw/rawz (fmt dispatch is per row)."""
+    rows = []
+    for i in range(12):
+        px = im.render_pixels(1000 + i, 20, 17)
+        rows.append((f"p-{i:03d}", bytearray(im.encode_pixels(px, "png")),
+                     20, 17, "png", f"cap {i}", im.phash64(px)))
+    df = spark.createDataFrame(rows, im.IMAGE_SCHEMA)
+    feats = im.decode_features(df).toPandas()
+    assert len(feats) == 12
+    assert (feats.psnr_db >= 40.0).all()
+    for i, r in feats.sort_values("image_id").reset_index().iterrows():
+        exp = im.phash64(im.render_pixels(1000 + i, 20, 17))
+        assert int(r.phash_check) == exp
+    thumbs = im.resize_images(df).toPandas()
+    assert len(thumbs) == 12
+    assert all(len(t) == 8 * 8 * 3 for t in thumbs.bytes)
 
 
 def test_decode_features_psnr_gate(spark, sf_dir):
