@@ -7,6 +7,10 @@ tested); real-world codecs (mp4/webm/opus/mp3) are HONESTLY STUBBED
 behind NotImplementedError because no AV libraries exist in this
 container — the synthetic formats (`rawv`/`rawvz` frame stacks,
 `pcm16`/`pcmz` int16 PCM) exercise the identical code path losslessly.
+`wav` (RIFF PCM via the stdlib `wave` module) is additionally a REAL
+standard audio container, lossless for mono int16; the synthesized
+table keeps its pcm16/pcmz split (frozen with the DuckDB oracles) and
+wav rides the same decode paths, tested separately.
 
 Determinism: all metadata derives from (doc_id, text) with pure-SQL
 arithmetic (so `media_meta` is oracle-checked against DuckDB), and all
@@ -40,7 +44,8 @@ SR_SQL = ("(CASE WHEN doc_id % 2 = 1 THEN 1000 + (doc_id % 3) * 1000 "
 FRAME_W = FRAME_H = 16
 
 VIDEO_FMTS = ("rawv", "rawvz")      # real, lossless
-AUDIO_FMTS = ("pcm16", "pcmz")      # real, lossless
+AUDIO_FMTS = ("pcm16", "pcmz")      # real, lossless (synth table split)
+WAV_FMT = "wav"                     # real RIFF container (stdlib wave)
 STUB_FMTS = ("mp4", "webm", "opus", "mp3")
 
 
@@ -76,8 +81,42 @@ def decode_video(data: bytes, fmt: str, n: int, w: int, h: int) -> np.ndarray:
     return np.frombuffer(buf, np.uint8).reshape(n, h, w, 3)
 
 
+WAV_RATE = 16_000  # sample rate stamped into wav headers (mono int16)
+
+
+def _wav_encode(pcm: np.ndarray) -> bytes:
+    """Standards-conformant RIFF/WAVE via the stdlib `wave` module:
+    mono 16-bit little-endian PCM — a real container any audio tool
+    reads, not a stub."""
+    import io
+    import wave
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(WAV_RATE)
+        wv.writeframes(pcm.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+def _wav_decode(data: bytes) -> np.ndarray:
+    import io
+    import wave
+    with wave.open(io.BytesIO(bytes(data)), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"wav sample width {wv.getsampwidth()} unsupported "
+                "(int16 only)")
+        frames = np.frombuffer(wv.readframes(wv.getnframes()), "<i2")
+        if wv.getnchannels() > 1:  # downmix by first channel
+            frames = frames[::wv.getnchannels()]
+    return frames
+
+
 def encode_audio(pcm: np.ndarray, fmt: str) -> bytes:
     """pcm: (n,) int16 -> bytes."""
+    if fmt == "wav":
+        return _wav_encode(pcm)
     raw = pcm.astype("<i2").tobytes()
     if fmt == "pcm16":
         return raw
@@ -88,6 +127,8 @@ def encode_audio(pcm: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "wav":
+        return _wav_decode(data)
     if fmt == "pcm16":
         buf = data
     elif fmt == "pcmz":

@@ -25,6 +25,65 @@ def test_codec_roundtrips_and_stubs():
             md.decode_audio(b"", fmt)
 
 
+def test_wav_codec_real_container(spark):
+    """wav is a real RIFF/WAVE container (stdlib wave module): exact
+    mono-int16 round-trip, standards-conformant header, multichannel
+    downmix, width rejection — and it rides the same Spark
+    audio_features path as pcm16/pcmz."""
+    import io
+    import wave
+
+    pcm = md.render_pcm(77, 2000)
+    enc = md.encode_audio(pcm, "wav")
+    assert enc[:4] == b"RIFF" and enc[8:12] == b"WAVE"
+    np.testing.assert_array_equal(md.decode_audio(enc, "wav"), pcm)
+    # an independent reader (the wave module itself, fresh parse) agrees
+    with wave.open(io.BytesIO(enc), "rb") as wv:
+        assert (wv.getnchannels(), wv.getsampwidth(),
+                wv.getframerate()) == (1, 2, md.WAV_RATE)
+    # stereo downmix: first channel
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(md.WAV_RATE)
+        inter = np.empty(40, np.int16)
+        inter[0::2] = np.arange(20)          # L
+        inter[1::2] = -np.arange(20)         # R
+        wv.writeframes(inter.astype("<i2").tobytes())
+    np.testing.assert_array_equal(
+        md.decode_audio(bio.getvalue(), "wav"), np.arange(20))
+    # 8-bit wav is rejected, not misread
+    bio8 = io.BytesIO()
+    with wave.open(bio8, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(1)
+        wv.setframerate(md.WAV_RATE)
+        wv.writeframes(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="sample width"):
+        md.decode_audio(bio8.getvalue(), "wav")
+
+    # Spark path: audio_features over wav rows == over pcm16 rows
+    rows_wav, rows_pcm = [], []
+    for i in range(6):
+        p = md.render_pcm(500 + i, 1600)
+        dur = 100
+        base = (f"a-{i:03d}", "audio", dur, 16, 0, 0, f"cap {i}")
+        rows_wav.append((base[0], base[1],
+                         bytearray(md.encode_audio(p, "wav")), "wav",
+                         dur, 16, 0, 0, base[6]))
+        rows_pcm.append((base[0], base[1],
+                         bytearray(md.encode_audio(p, "pcm16")), "pcm16",
+                         dur, 16, 0, 0, base[6]))
+    schema = ("media_id string, kind string, bytes binary, fmt string, "
+              "duration_ms int, fps int, w int, h int, caption string")
+    fw = md.audio_features(spark.createDataFrame(rows_wav, schema)) \
+        .toPandas().sort_values(["media_id", "win_idx"]).reset_index(drop=True)
+    fp = md.audio_features(spark.createDataFrame(rows_pcm, schema)) \
+        .toPandas().sort_values(["media_id", "win_idx"]).reset_index(drop=True)
+    assert len(fw) > 0 and fw.equals(fp)
+
+
 def test_synth_table_contract(spark, sf_dir):
     m = md.synth_media(spark, sf_dir).cache()
     pdf = m.toPandas()
