@@ -8,12 +8,13 @@ run as vectorized numpy inside mapInPandas over Arrow batches.
 Codecs: 'raw' (packed RGB), 'rawz' (zlib-compressed RGB) and 'png'
 (pure-stdlib encoder/decoder below — PNG is just zlib + per-scanline
 filters + CRC chunks) are real and lossless (decoded-pixel PSNR is
-infinite >= 40 dB by construction). 'jpeg' decode remains STUBBED with
-NotImplementedError — a DCT codec genuinely needs an image library this
-container lacks; the Spark-side plumbing (schema, partitioning, batch
-shapes) is identical for any codec. The synthesized table keeps its
-raw/rawz fmt split (frozen with the DuckDB oracles); png rides the same
-decode/feature/resize paths, tested separately.
+infinite >= 40 dB by construction). 'jpeg' is a real baseline DCT
+codec too (jpeg.py — pure numpy/stdlib ITU-T T.81 sequential, 4:4:4,
+Annex K tables), the graft's lossy path: decode_features' psnr_db >=
+40 dB gate is a true lossy-codec invariant for jpeg rows. The
+synthesized table keeps its raw/rawz fmt split (frozen with the DuckDB
+oracles); png and jpeg ride the same decode/feature/resize paths,
+tested separately (tests/test_jpeg.py).
 
 Spatial link (the raster<->vector story of BASELINE.json): every image
 carries a deterministic centroid (cx, cy) in the kd-tree coordinate
@@ -35,6 +36,7 @@ IMAGE_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                 "caption string, phash long")
 
 LOSSLESS_FMTS = ("raw", "rawz", "png")
+LOSSY_FMTS = ("jpeg",)   # real codec; decoded pixels gate at PSNR >= 40 dB
 
 # centroid derivation (same text in Spark SQL and DuckDB; % on
 # non-negative operands agrees across engines)
@@ -161,6 +163,9 @@ def encode_pixels(px: np.ndarray, fmt: str) -> bytes:
     """px: (h, w, 3) uint8 -> bytes in the given format."""
     if fmt == "png":
         return _png_encode(px)
+    if fmt == "jpeg":
+        from . import jpeg
+        return jpeg.encode(px)
     raw = px.tobytes()
     if fmt == "raw":
         return raw
@@ -176,6 +181,13 @@ def decode_pixels(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         px = _png_decode(bytes(data))
         if px.shape[:2] != (h, w):
             raise ValueError(f"PNG is {px.shape[1]}x{px.shape[0]}, "
+                             f"metadata says {w}x{h}")
+        return px
+    if fmt == "jpeg":
+        from . import jpeg
+        px = jpeg.decode(bytes(data))
+        if px.shape[:2] != (h, w):
+            raise ValueError(f"JPEG is {px.shape[1]}x{px.shape[0]}, "
                              f"metadata says {w}x{h}")
         return px
     if fmt == "raw":

@@ -21,13 +21,18 @@ def test_codec_roundtrip_and_psnr():
         back = im.decode_pixels(im.encode_pixels(px, fmt), fmt, 20, 17)
         assert np.array_equal(px, back)
         assert im.psnr(px, back) == float("inf")  # >= 40 dB trivially
-    with pytest.raises(NotImplementedError):
-        im.encode_pixels(px, "jpeg")
-    with pytest.raises(NotImplementedError):
-        im.decode_pixels(b"x", "jpeg", 1, 1)
-    # png is a real codec now; garbage is a format error, not a stub
+    # jpeg is a real (lossy) codec now — >= 40 dB, not bit equality
+    for fmt in im.LOSSY_FMTS:
+        back = im.decode_pixels(im.encode_pixels(px, fmt), fmt, 20, 17)
+        assert im.psnr(px, back) >= 40.0
+    # png/jpeg are real codecs; garbage is a format error, not a stub
     with pytest.raises(ValueError, match="not a PNG"):
         im.decode_pixels(b"x", "png", 1, 1)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        im.decode_pixels(b"x", "jpeg", 1, 1)
+    # a codec we truly don't have stays an honest stub
+    with pytest.raises(NotImplementedError):
+        im.encode_pixels(px, "webp")
 
 
 def test_render_deterministic():
