@@ -8,9 +8,12 @@ behind NotImplementedError because no AV libraries exist in this
 container — the synthetic formats (`rawv`/`rawvz` frame stacks,
 `pcm16`/`pcmz` int16 PCM) exercise the identical code path losslessly.
 `wav` (RIFF PCM via the stdlib `wave` module) is additionally a REAL
-standard audio container, lossless for mono int16; the synthesized
-table keeps its pcm16/pcmz split (frozen with the DuckDB oracles) and
-wav rides the same decode paths, tested separately.
+standard audio container, lossless for mono int16, and `avi`
+(RIFF/AVI with an MJPG stream — one baseline jpeg.py image per frame,
+avi.py) is a REAL standard video container, lossy at >= 40 dB frame
+PSNR; the synthesized table keeps its pcm16/pcmz and rawv/rawvz splits
+(frozen with the DuckDB oracles) and wav/avi ride the same decode
+paths, tested separately (test_media.py, test_avi.py).
 
 Determinism: all metadata derives from (doc_id, text) with pure-SQL
 arithmetic (so `media_meta` is oracle-checked against DuckDB), and all
@@ -46,6 +49,7 @@ FRAME_W = FRAME_H = 16
 VIDEO_FMTS = ("rawv", "rawvz")      # real, lossless
 AUDIO_FMTS = ("pcm16", "pcmz")      # real, lossless (synth table split)
 WAV_FMT = "wav"                     # real RIFF container (stdlib wave)
+AVI_FMT = "avi"                     # real RIFF/AVI MJPG container (avi.py)
 STUB_FMTS = ("mp4", "webm", "opus", "mp3")
 
 
@@ -59,8 +63,13 @@ def n_samples(duration_ms: int, sample_rate: int) -> int:
 
 # ------------------------------------------------------------------ codecs
 
-def encode_video(frames: np.ndarray, fmt: str) -> bytes:
-    """frames: (n, h, w, 3) uint8 -> container bytes."""
+def encode_video(frames: np.ndarray, fmt: str, fps: int = 10) -> bytes:
+    """frames: (n, h, w, 3) uint8 -> container bytes. `fps` is only
+    stamped into container formats (avi); raw stacks carry it in the
+    table's metadata columns instead."""
+    if fmt == "avi":
+        from . import avi
+        return avi.encode(frames, fps)
     raw = frames.tobytes()
     if fmt == "rawv":
         return raw
@@ -71,6 +80,13 @@ def encode_video(frames: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_video(data: bytes, fmt: str, n: int, w: int, h: int) -> np.ndarray:
+    if fmt == "avi":
+        from . import avi
+        frames, _fps = avi.decode(bytes(data))
+        if frames.shape != (n, h, w, 3):
+            raise ValueError(f"AVI carries {frames.shape}, metadata says "
+                             f"({n}, {h}, {w}, 3)")
+        return frames
     if fmt == "rawv":
         buf = data
     elif fmt == "rawvz":
