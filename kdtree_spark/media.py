@@ -3,17 +3,18 @@
 Same design contract as images.py: media rides in opaque `binary`
 columns with typed metadata; every pipeline op is an Arrow-batched
 `mapInPandas` (schema, partitioning and batch shape are real and
-tested); real-world codecs (mp4/webm/opus/mp3) are HONESTLY STUBBED
-behind NotImplementedError because no AV libraries exist in this
+tested); compressed-audio codecs (webm/opus/mp3) are HONESTLY STUBBED
+behind NotImplementedError because no DSP libraries exist in this
 container — the synthetic formats (`rawv`/`rawvz` frame stacks,
 `pcm16`/`pcmz` int16 PCM) exercise the identical code path losslessly.
-`wav` (RIFF PCM via the stdlib `wave` module) is additionally a REAL
-standard audio container, lossless for mono int16, and `avi`
-(RIFF/AVI with an MJPG stream — one baseline jpeg.py image per frame,
-avi.py) is a REAL standard video container, lossy at >= 40 dB frame
-PSNR; the synthesized table keeps its pcm16/pcmz and rawv/rawvz splits
-(frozen with the DuckDB oracles) and wav/avi ride the same decode
-paths, tested separately (test_media.py, test_avi.py).
+Three REAL standard containers ride the same paths: `wav` (RIFF PCM
+via the stdlib `wave` module, lossless mono int16), `avi` (RIFF/AVI
+with an MJPG stream — one baseline jpeg.py image per frame, avi.py)
+and `mp4` (ISO BMFF with a 'jpeg' video track, mp4.py), the video two
+lossy at >= 40 dB frame PSNR; the synthesized table keeps its
+pcm16/pcmz and rawv/rawvz splits (frozen with the DuckDB oracles) and
+wav/avi/mp4 are tested separately (test_media.py, test_avi.py,
+test_mp4.py).
 
 Determinism: all metadata derives from (doc_id, text) with pure-SQL
 arithmetic (so `media_meta` is oracle-checked against DuckDB), and all
@@ -50,7 +51,8 @@ VIDEO_FMTS = ("rawv", "rawvz")      # real, lossless
 AUDIO_FMTS = ("pcm16", "pcmz")      # real, lossless (synth table split)
 WAV_FMT = "wav"                     # real RIFF container (stdlib wave)
 AVI_FMT = "avi"                     # real RIFF/AVI MJPG container (avi.py)
-STUB_FMTS = ("mp4", "webm", "opus", "mp3")
+MP4_FMT = "mp4"                     # real ISO BMFF MJPEG container (mp4.py)
+STUB_FMTS = ("webm", "opus", "mp3")  # genuinely need DSP codec libraries
 
 
 def n_frames(duration_ms: int, fps: int) -> int:
@@ -70,6 +72,9 @@ def encode_video(frames: np.ndarray, fmt: str, fps: int = 10) -> bytes:
     if fmt == "avi":
         from . import avi
         return avi.encode(frames, fps)
+    if fmt == "mp4":
+        from . import mp4
+        return mp4.encode(frames, fps)
     raw = frames.tobytes()
     if fmt == "rawv":
         return raw
@@ -80,12 +85,15 @@ def encode_video(frames: np.ndarray, fmt: str, fps: int = 10) -> bytes:
 
 
 def decode_video(data: bytes, fmt: str, n: int, w: int, h: int) -> np.ndarray:
-    if fmt == "avi":
-        from . import avi
-        frames, _fps = avi.decode(bytes(data))
+    if fmt in ("avi", "mp4"):
+        if fmt == "avi":
+            from . import avi as container
+        else:
+            from . import mp4 as container
+        frames, _fps = container.decode(bytes(data))
         if frames.shape != (n, h, w, 3):
-            raise ValueError(f"AVI carries {frames.shape}, metadata says "
-                             f"({n}, {h}, {w}, 3)")
+            raise ValueError(f"{fmt} carries {frames.shape}, metadata "
+                             f"says ({n}, {h}, {w}, 3)")
         return frames
     if fmt == "rawv":
         buf = data
