@@ -1,6 +1,6 @@
-"""Sustained multi-process scaling probe of the three hot kernels ALONE
-(`LocalKDTree.build`, `LocalKDTree.knn`, `LocalKDTree.range_count`) —
-no Spark, no JVM.
+"""Sustained multi-process scaling probe of the hot kernels ALONE
+(`LocalKDTree.build`, `LocalKDTree.knn`, `LocalKDTree.range_count`,
+and the image payload's `jpeg` decode) — no Spark, no JVM.
 
 Separates the engine's own compute from Spark machinery + host
 oversubscription in the BENCH.md scaling argument: each process builds
@@ -88,6 +88,25 @@ def _range_worker(seed: int) -> float:
     return nq / (time.time() - t0)
 
 
+def _jpeg_worker(seed: int) -> float:
+    """Image-payload kernel: decode the synth table's jpeg class — the
+    per-task work of decode_features/frame_sample over fmt='jpeg' rows
+    (embarrassingly parallel across mapInPandas tasks; this measures
+    whether the host actually delivers that across processes)."""
+    from kdtree_spark import images as im
+    from kdtree_spark import jpeg
+    encs = [jpeg.encode(im.render_pixels(seed * 100 + i, 24, 24))
+            for i in range(64)]
+    jpeg.decode(encs[0])  # warm (LUT cache)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < SECONDS:
+        for e in encs:
+            jpeg.decode(e)
+        n += len(encs)
+    return n / (time.time() - t0)
+
+
 def probe(worker, procs: int) -> float:
     with mp.Pool(procs) as p:
         rates = p.map(worker, range(procs))
@@ -98,7 +117,8 @@ def main() -> None:
     out: dict = {"n_blob": N_BLOB, "k": K, "seconds": SECONDS}
     for name, worker in (("build_rows_per_sec", _build_worker),
                          ("knn_q_per_sec", _knn_worker),
-                         ("range_q_per_sec", _range_worker)):
+                         ("range_q_per_sec", _range_worker),
+                         ("jpeg_decode_img_per_sec", _jpeg_worker)):
         for procs in (2, 8):
             out[f"{name}_p{procs}"] = round(probe(worker, procs), 1)
         out[f"{name}_eff_2to8"] = round(
