@@ -80,7 +80,15 @@ def _iter_chunks(data: bytes, pos: int, end: int):
 
 def decode(data: bytes) -> tuple[np.ndarray, int]:
     """AVI/MJPG bytes -> ((n, h, w, 3) uint8 frames, fps)."""
-    data = bytes(data)
+    try:
+        return _decode_impl(bytes(data))
+    except (struct.error, IndexError, TypeError):
+        # any out-of-bounds unpack/index while walking the RIFF tree is
+        # a malformed stream, not an internal error
+        raise ValueError("corrupt AVI stream") from None
+
+
+def _decode_impl(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI stream (missing RIFF/AVI header)")
     (riff_size,) = struct.unpack("<I", data[4:8])

@@ -119,6 +119,14 @@ def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
 def _png_decode(data: bytes) -> np.ndarray:
     """Decode 8-bit gray / RGB / RGBA PNG (no interlace) to (h, w, 3)."""
     import struct
+    try:
+        return _png_decode_impl(data)
+    except (struct.error, IndexError):
+        raise ValueError("corrupt PNG stream") from None
+
+
+def _png_decode_impl(data: bytes) -> np.ndarray:
+    import struct
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, idat, ihdr = 8, [], None

@@ -364,11 +364,17 @@ def _huff_lut(bits: tuple[int, ...],
     table content and returned as plain-int lists: in a batch decode
     (the Spark mapInPandas shape) every image carries the same four
     tables, so the 65k-entry expansion is paid once per process."""
+    if sum(bits) != len(vals) or sum(bits) > 256:
+        raise ValueError("invalid JPEG Huffman table (BITS/HUFFVAL "
+                         "mismatch)")
     sym = np.zeros(1 << 16, np.int16)
     ln = np.zeros(1 << 16, np.uint8)
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("invalid JPEG Huffman table (code "
+                                 "space overflow)")
             start = code << (16 - length)
             span = 1 << (16 - length)
             sym[start:start + span] = vals[k]
@@ -425,7 +431,15 @@ def _extend(v: int, size: int) -> int:
 def decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB. Supports the subset
     this module emits (plus grayscale and restart intervals)."""
-    data = bytes(data)
+    try:
+        return _decode_impl(bytes(data))
+    except (struct.error, IndexError):
+        # any out-of-bounds unpack/index while parsing is a malformed
+        # stream, not an internal error
+        raise ValueError("corrupt JPEG stream") from None
+
+
+def _decode_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -454,6 +468,8 @@ def decode(data: bytes) -> np.ndarray:
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
                 zz = np.frombuffer(payload[p + 1:p + 65], np.uint8)
+                if len(zz) != 64:
+                    raise ValueError("JPEG DQT truncated")
                 qtabs[tq] = zz.astype(np.int32)[UNZIGZAG].reshape(8, 8)
                 p += 65
         elif marker == 0xC4:                              # DHT
@@ -487,6 +503,8 @@ def decode(data: bytes) -> np.ndarray:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = payload[0]
+            if len(payload) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS header truncated")
             scan = []
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]

@@ -25,7 +25,10 @@ import numpy as np
 
 from . import jpeg
 
-_TIMESCALE = 600  # ticks/sec; divisible by common integer fps values
+# media timescale is 100*fps ticks/sec with a fixed 100-tick sample
+# delta, so ANY integer fps round-trips exactly (a fixed 600-tick scale
+# mis-rounds fps values that don't divide it, e.g. 51 -> 55)
+_DELTA = 100
 
 
 def _box(fourcc: bytes, payload: bytes) -> bytes:
@@ -43,7 +46,8 @@ def encode(frames: np.ndarray, fps: int = 10, quality: int = 98) -> bytes:
         raise ValueError("empty video")
     fps = max(1, int(fps))
     jpgs = [jpeg.encode(frames[i], quality) for i in range(n)]
-    delta = _TIMESCALE // fps or 1
+    timescale = _DELTA * fps
+    delta = _DELTA
     duration = n * delta
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
@@ -53,7 +57,7 @@ def encode(frames: np.ndarray, fps: int = 10, quality: int = 98) -> bytes:
     chunk_off = len(ftyp) + 8
 
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
-        ">IIII", 0, 0, _TIMESCALE, duration)
+        ">IIII", 0, 0, timescale, duration)
         + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + b"\x00" * 24 + struct.pack(">I", 2))
@@ -62,7 +66,7 @@ def encode(frames: np.ndarray, fps: int = 10, quality: int = 98) -> bytes:
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", w << 16, h << 16))
     mdhd = _full(b"mdhd", 0, 0, struct.pack(
-        ">IIII", 0, 0, _TIMESCALE, duration)
+        ">IIII", 0, 0, timescale, duration)
         + struct.pack(">HH", 0x55C4, 0))          # language 'und'
     hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
                  + b"\x00" * 12 + b"MotionJPEG\x00")
@@ -131,6 +135,16 @@ def decode(data: bytes) -> tuple[np.ndarray, int]:
     if b"moof" in tops:
         raise NotImplementedError("fragmented MP4 unsupported")
     moov = tops[b"moov"]
+    try:
+        return _decode_moov(data, moov)
+    except (struct.error, IndexError, TypeError):
+        # any out-of-bounds unpack/index while walking the box tree is
+        # a malformed stream, not an internal error
+        raise ValueError("corrupt MP4 stream") from None
+
+
+def _decode_moov(data: bytes, moov: tuple[int, int]) -> tuple[np.ndarray,
+                                                              int]:
     for fc, p, pe in _iter_boxes(data, *moov):
         if fc != b"trak":
             continue
