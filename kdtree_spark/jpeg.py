@@ -5,14 +5,17 @@ carries lossy-image rows whose per-row invariant is decoded-pixel PSNR
 >= 40 dB, which is only a real gate with a real lossy codec. This is a
 standards-conformant writer/reader for the subset we emit:
 
-  encoder: 8-bit, 3-component YCbCr (JFIF), 4:4:4 (no subsampling),
+  encoder: 8-bit, 3-component YCbCr (JFIF), 4:4:4 by default or 4:2:0
+           (2x2 box-mean chroma, the dominant real-world layout),
            Annex K quantization tables scaled by `quality` (libjpeg
            scaling formula), Annex K.3 Huffman tables, interleaved
-           single-scan baseline. Output opens in any JPEG decoder.
-  decoder: baseline sequential (SOF0), 8-bit, 1 or 3 components at
-           1x1 sampling, restart intervals honored; progressive
-           (SOF2), arithmetic coding and subsampled chroma raise
-           NotImplementedError (we never emit them).
+           single-scan baseline, optional restart intervals. Output
+           opens in any JPEG decoder.
+  decoder: baseline sequential (SOF0/1), 8-bit, 1 or 3 components at
+           any sampling factors in {1,2,4} (covers 4:4:4 / 4:2:2 /
+           4:2:0 / 4:1:1; nearest-neighbor chroma upsampling),
+           restart intervals honored; progressive (SOF2) and
+           arithmetic coding raise NotImplementedError.
 
 All per-block math (color transform, DCT, quantize, dequantize, IDCT)
 is vectorized numpy over every block at once; only the entropy coder
@@ -238,8 +241,9 @@ def _amplitude(v: int, size: int) -> int:
 
 
 def encode(px: np.ndarray, quality: int = 98,
-           restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, single scan).
+           restart_interval: int = 0,
+           subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (single scan).
 
     Default quality 98: the synthetic table's images carry uniform fine
     noise (images.render_pixels), the hardest content class for a DCT
@@ -249,21 +253,38 @@ def encode(px: np.ndarray, quality: int = 98,
 
     restart_interval > 0 emits a DRI segment and RSTn markers every N
     MCUs (DC predictors reset, stream byte-aligned) — the standard's
-    mechanism for error recovery and chunk-parallel decode."""
+    mechanism for error recovery and chunk-parallel decode.
+
+    subsampling: '444' (default — needed for the 40 dB gate) or '420'
+    (2x2-box-mean chroma, the dominant real-world layout; ~25% smaller
+    streams, chroma fidelity bounded by the subsample itself)."""
     h, w, _ = px.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = 2 if subsampling == "420" else 1
     qt_l, qt_c = _quality_tables(quality)
-    # pad to 8-multiples by edge replication (minimizes ringing at edges)
-    hh, ww = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad by edge replication (minimizes ringing at edges) to the MCU
+    # granularity: 8 for 4:4:4, 16 for 4:2:0
+    al = 8 * sub
+    hh, ww = -(-h // al) * al, -(-w // al) * al
     padded = np.pad(px, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded) - 128.0
+    if sub == 2:       # 2x2 box-mean chroma planes
+        comp_planes = [ycc[0]] + [
+            ycc[c].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            for c in (1, 2)]
+        hvs = ((2, 2), (1, 1), (1, 1))
+    else:
+        comp_planes = [ycc[0], ycc[1], ycc[2]]
+        hvs = ((1, 1), (1, 1), (1, 1))
 
     # vectorized DCT + quantization for all blocks of all 3 components
     qts = (qt_l, qt_c, qt_c)
     comp_zz = []
     for c in range(3):
-        blocks = _to_blocks(ycc[c])                       # (n, 8, 8)
+        blocks = _to_blocks(comp_planes[c])               # (n, 8, 8)
         coef = np.einsum("ux,nxy,vy->nuv", _D, blocks, _D)
         # baseline entropy coding is limited to 10-bit AC magnitudes /
         # 11-bit DC diffs (the Annex K tables stop at size 10/11); a
@@ -277,7 +298,8 @@ def encode(px: np.ndarray, quality: int = 98,
         nzb, nzp = np.nonzero(zz[:, 1:])
         bounds = np.searchsorted(nzb, np.arange(zz.shape[0] + 1)).tolist()
         comp_zz.append((zz[:, 0].tolist(), nzp.tolist(),
-                        zz[nzb, 1 + nzp].tolist(), bounds))
+                        zz[nzb, 1 + nzp].tolist(), bounds,
+                        comp_planes[c].shape[1] // 8))
 
     dc_tabs = (_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
@@ -286,17 +308,23 @@ def encode(px: np.ndarray, quality: int = 98,
     bw = _BitWriter()
     put = bw.put
     prev_dc = [0, 0, 0]
-    n_mcu = len(comp_zz[0][0])
+    mcu_cols, mcu_rows = ww // al, hh // al
+    n_mcu = mcu_cols * mcu_rows
+    # interleaved block schedule per MCU (A.2.3): comp, then vi, then hi
+    sched = [(c, 0 if c == 0 else 1, hv[1], hv[0], dv, dh)
+             for c, hv in enumerate(hvs)
+             for dv in range(hv[1]) for dh in range(hv[0])]
     rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             bw.raw_marker(0xD0 + rst)
             rst = (rst + 1) & 7
             prev_dc = [0, 0, 0]
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            dcs, nzp, nzv, bounds = comp_zz[c]
-            dc = dcs[m]
+        mr, mc_ = divmod(m, mcu_cols)
+        for c, t, vi, hi, dv, dh in sched:
+            dcs, nzp, nzv, bounds, ccols = comp_zz[c]
+            bi = (mr * vi + dv) * ccols + (mc_ * hi + dh)
+            dc = dcs[bi]
             diff = dc - prev_dc[c]
             prev_dc[c] = dc
             size = _CAT[diff] if diff >= 0 else _CAT[-diff]
@@ -307,7 +335,7 @@ def encode(px: np.ndarray, quality: int = 98,
             # AC run-length over zigzag positions 1..63
             ac_t = ac_tabs[t]
             last = -1
-            for i in range(bounds[m], bounds[m + 1]):
+            for i in range(bounds[bi], bounds[bi + 1]):
                 pos = nzp[i]
                 run = pos - last - 1
                 last = pos
@@ -333,10 +361,10 @@ def encode(px: np.ndarray, quality: int = 98,
     for tid, qt in ((0, qt_l), (1, qt_c)):
         out += seg(0xFFDB, bytes([tid])
                    + bytes(int(v) for v in qt[ZIGZAG]))   # DQT in zigzag
-    # SOF0: precision 8, h, w, 3 components, all 1x1 sampling
+    # SOF0: precision 8, h, w, 3 components with their sampling factors
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, qid])
+    for (cid, qid), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), hvs):
+        sof += bytes([cid, (hi << 4) | vi, qid])
     out += seg(0xFFC0, sof)
     for tc_th, bits, vals in ((0x00, DC_LUMA_BITS, DC_LUMA_VALS),
                               (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
@@ -488,10 +516,11 @@ def _decode_impl(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, qid = payload[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "subsampled JPEG (only 1x1 sampling supported)")
-                comps.append((cid, qid))
+                        f"JPEG sampling factors {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, qid))
             sof = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -517,31 +546,47 @@ def _decode_impl(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
     h, w, comps = sof
-    cid_to_qid = dict(comps)
-    order = []                       # (dc_table, ac_table, qtable) per comp
+    cid_to_shape = {cid: (hi, vi, qid) for cid, hi, vi, qid in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    order = []          # (dc_table, ac_table, qtable, hi, vi) per comp
     for cs, td, ta in scan:
-        if cs not in cid_to_qid:
+        if cs not in cid_to_shape:
             raise ValueError(f"scan references unknown component {cs}")
+        hi, vi, qid = cid_to_shape[cs]
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                "non-integer JPEG chroma upsampling ratio")
         dc = htabs.get(td)
         ac = htabs.get(0x10 | ta)
-        qt = qtabs.get(cid_to_qid[cs])
+        qt = qtabs.get(qid)
         if dc is None or ac is None or qt is None:
             raise ValueError("JPEG scan references missing table")
-        order.append((dc, ac, qt))
+        order.append((dc, ac, qt, hi, vi))
     nc = len(order)
-    bw_blocks = -(-w // 8)
-    bh_blocks = -(-h // 8)
-    n_mcu = bw_blocks * bh_blocks
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    n_mcu = mcu_cols * mcu_rows
+    # per-component block-grid widths and per-MCU block schedule: the
+    # interleaved order is comp-major, then vi, then hi (A.2.3)
+    cols = [mcu_cols * hi for _dc, _ac, _qt, hi, _vi in order]
+    rows = [mcu_rows * vi for _dc, _ac, _qt, _hi, vi in order]
+    sched = []          # (c, dv, dh, LUTs...) per block of one MCU
+    for c, (dc, ac, _qt, hi, vi) in enumerate(order):
+        for dv in range(vi):
+            for dh in range(hi):
+                sched.append((c, vi, hi, dv, dh,
+                              dc[0], dc[1], ac[0], ac[1]))
+    if len(sched) > 10:
+        raise ValueError("JPEG MCU has more than 10 data units (B.2.3)")
     segs = _entropy_segments(data, pos)
     seg_i = 0
     win_l, nbits = _seg_windows(segs[0][0])
     bp = 0
     # flat per-component coefficient lists: plain-list stores in the
     # hot loop, one bulk numpy conversion at the end
-    flat = [[0] * (n_mcu * 64) for _ in range(nc)]
+    flat = [[0] * (rows[c] * cols[c] * 64) for c in range(nc)]
     prev_dc = [0] * nc
-    # per-component LUT lists (already plain ints, cached in _huff_lut)
-    tabs = [(dc[0], dc[1], ac[0], ac[1]) for dc, ac, _qt in order]
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             # the current segment must be spent (padding bits only) and
@@ -555,8 +600,10 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
             win_l, nbits = _seg_windows(segs[seg_i][0])
             bp = 0
             prev_dc = [0] * nc
-        base = m * 64
-        for c, (dc_sym, dc_len, ac_sym, ac_len) in enumerate(tabs):
+        mr, mc_ = divmod(m, mcu_cols)
+        for (c, vi, hi, dv, dh,
+             dc_sym, dc_len, ac_sym, ac_len) in sched:
+            base = ((mr * vi + dv) * cols[c] + (mc_ * hi + dh)) * 64
             co = flat[c]
             try:
                 w40 = win_l[bp >> 3]
@@ -604,16 +651,21 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
                 k += 1
         if bp > nbits:
             raise ValueError("JPEG entropy data truncated")
-    coefs = np.array(flat, np.int32).reshape(nc, n_mcu, 64)
-    # vectorized dequantize + IDCT + reassembly per component
-    hh, ww = bh_blocks * 8, bw_blocks * 8
+    # vectorized dequantize + IDCT + reassembly per component, each on
+    # its own block grid, upsampled to the full-resolution MCU grid
+    hh, ww = mcu_rows * vmax * 8, mcu_cols * hmax * 8
     planes = np.empty((nc, hh, ww))
-    for c, (_dc, _ac, qt) in enumerate(order):
-        dq = np.zeros((n_mcu, 64), np.float64)
-        dq[:, ZIGZAG] = coefs[c] * qt.reshape(-1)[ZIGZAG]
+    for c, (_dc, _ac, qt, hi, vi) in enumerate(order):
+        coefs = np.array(flat[c], np.int32).reshape(-1, 64)
+        dq = np.zeros_like(coefs, dtype=np.float64)
+        dq[:, ZIGZAG] = coefs * qt.reshape(-1)[ZIGZAG]
         blocks = np.einsum("xu,nuv,yv->nxy", _D.T, dq.reshape(-1, 8, 8),
                            _D.T)
-        planes[c] = _from_blocks(blocks, hh, ww)
+        plane = _from_blocks(blocks, rows[c] * 8, cols[c] * 8)
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:       # nearest-neighbor chroma upsampling
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes[c] = plane[:hh, :ww]
     planes += 128.0
     if nc == 1:
         gray = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)

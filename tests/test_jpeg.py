@@ -168,10 +168,11 @@ def test_error_paths():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         jpeg.decode(bytes(prog))
-    # subsampled chroma refused (we flip Y's sampling byte to 2x2)
+    # a sampling factor outside {1,2,4} is refused, not mis-parsed
+    # (2x2 itself is now a supported layout — see the 4:2:0 tests)
     sub = bytearray(good)
     assert sub[i + 11] == 0x11              # SOF comp 1 sampling field
-    sub[i + 11] = 0x22
+    sub[i + 11] = 0x33
     with pytest.raises(NotImplementedError):
         jpeg.decode(bytes(sub))
     # metadata/stream dims mismatch surfaces in the images dispatch
@@ -203,3 +204,49 @@ def test_jpeg_through_spark_pipeline(spark):
     thumbs = im.resize_images(df).toPandas()
     assert len(thumbs) == 6
     assert all(len(t) == 8 * 8 * 3 for t in thumbs.bytes)
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 (the dominant real-world layout): smaller streams, decode
+    fidelity bounded by the subsample itself — so the codec is judged
+    against the ideal DCT-free subsample reference, not the original
+    (per-pixel-random chroma makes the ideal reference itself ~22 dB)."""
+    for (h, w) in [(16, 16), (17, 23), (1, 1), (34, 50)]:
+        px = im.render_pixels(h * 10 + w, w, h)
+        d420 = jpeg.encode(px, 95, subsampling="420")
+        d444 = jpeg.encode(px, 95)
+        back = jpeg.decode(d420)
+        assert back.shape == px.shape
+        if h >= 16 and w >= 16:   # below MCU size the 16-pad dominates
+            assert len(d420) < len(d444)
+        # ideal 4:2:0 reference: box-mean + nearest-upsample chroma
+        hh, ww = -(-h // 16) * 16, -(-w // 16) * 16
+        pad = np.pad(px, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")
+        ycc = jpeg._rgb_to_ycbcr(pad)
+        for c in (1, 2):
+            d = ycc[c].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            ycc[c] = d.repeat(2, 0).repeat(2, 1)
+        ideal = jpeg._ycbcr_to_rgb(ycc)[:h, :w]
+        assert im.psnr(ideal, back) >= 34.0
+    # smooth chroma: 4:2:0 stays above the 40 dB gate outright
+    smooth = np.zeros((32, 32, 3), np.uint8)
+    smooth[:, :, 0] = np.linspace(0, 255, 32).astype(np.uint8)[None, :]
+    smooth[:, :, 1] = 128
+    smooth[:, :, 2] = 64
+    assert im.psnr(smooth, jpeg.decode(
+        jpeg.encode(smooth, 95, subsampling="420"))) >= 40.0
+
+
+def test_420_structure_and_restart():
+    px = im.render_pixels(7, 50, 34)
+    data = jpeg.encode(px, 95, subsampling="420")
+    # SOF advertises 2x2 Y sampling, 1x1 chroma
+    i = data.find(b"\xFF\xC0")
+    assert data[i + 11] == 0x22 and data[i + 14] == 0x11 \
+        and data[i + 17] == 0x11
+    # restart intervals compose with subsampling (4x3 = 12 MCUs)
+    r = jpeg.encode(px, 95, restart_interval=2, subsampling="420")
+    assert b"\xFF\xDD" in r
+    assert np.array_equal(jpeg.decode(r), jpeg.decode(data))
+    with pytest.raises(ValueError):
+        jpeg.encode(px, subsampling="422")
