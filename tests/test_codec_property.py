@@ -29,16 +29,18 @@ def small_image(draw):
 
 
 @settings(max_examples=40, deadline=None)
-@given(px=small_image(), quality=st.integers(50, 100))
-def test_jpeg_roundtrip_any_content(px, quality):
-    data = jpeg.encode(px, quality)
+@given(px=small_image(), quality=st.integers(50, 100),
+       subsampling=st.sampled_from(["444", "420"]))
+def test_jpeg_roundtrip_any_content(px, quality, subsampling):
+    data = jpeg.encode(px, quality, subsampling=subsampling)
     back = jpeg.decode(data)
     assert back.shape == px.shape
     # shape/type invariants always; fidelity scales with quality —
     # full-range noise at q>=90 stays above the gate's ballpark
-    if quality >= 90:
+    # (4:2:0 on random chroma is bounded by the subsample itself)
+    if quality >= 90 and subsampling == "444":
         assert im.psnr(px, back) >= 25.0
-    assert jpeg.encode(px, quality) == data
+    assert jpeg.encode(px, quality, subsampling=subsampling) == data
 
 
 @settings(max_examples=40, deadline=None)
@@ -58,7 +60,9 @@ def test_video_container_roundtrip_any_content(px, fps, container):
 def test_jpeg_decoder_survives_mutation(seed, nmut):
     rng = np.random.default_rng(seed)
     px = im.render_pixels(seed % 1000, 16, 16)
-    data = bytearray(jpeg.encode(px, restart_interval=rng.integers(0, 3)))
+    data = bytearray(jpeg.encode(
+        px, restart_interval=rng.integers(0, 3),
+        subsampling=["444", "420"][seed % 2]))
     for _ in range(nmut):
         data[rng.integers(0, len(data))] = rng.integers(0, 256)
     try:
