@@ -250,3 +250,55 @@ def test_420_structure_and_restart():
     assert np.array_equal(jpeg.decode(r), jpeg.decode(data))
     with pytest.raises(ValueError):
         jpeg.encode(px, subsampling="422")
+
+
+def test_interop_with_jvm_imageio(spark):
+    """Two-way interop against an INDEPENDENT implementation — the
+    JDK's javax.imageio JPEG codec, reachable through Spark's JVM.
+    It must read our 4:4:4 stream in near-exact agreement with our own
+    decoder, and our decoder must read its default stream (4:2:0 at
+    quality 0.75) with luma agreement >= 45 dB — chroma may differ by
+    the upsampling filter (ours nearest, theirs interpolated), which
+    is implementation-defined."""
+    jvm = spark._jvm
+    h, w = 20, 24
+    px = im.render_pixels(42, w, h)
+
+    def bimg_to_np(bimg):
+        out = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = bimg.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255,
+                             rgb & 255]
+        return out
+
+    # ours -> ImageIO.read
+    ours_stream = jpeg.encode(px, 98)
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(ours_stream)))
+    assert (bimg.getWidth(), bimg.getHeight()) == (w, h)
+    their_read = bimg_to_np(bimg)
+    assert im.psnr(their_read, jpeg.decode(ours_stream)) >= 45.0
+
+    # ImageIO.write -> our decoder
+    bimg2 = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            bimg2.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bimg2, "jpeg", baos)
+    theirs = bytes(baos.toByteArray())
+    back = jpeg.decode(theirs)          # their default: 4:2:0, q~0.75
+    assert back.shape == (h, w, 3)
+    their_own = bimg_to_np(jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(theirs))))
+
+    def luma(a):
+        return (0.299 * a[:, :, 0].astype(np.float64)
+                + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2])
+
+    mse = np.mean((luma(back) - luma(their_own)) ** 2)
+    assert 20 * np.log10(255.0 / np.sqrt(mse)) >= 45.0
+    assert im.psnr(back, their_own) >= 20.0
