@@ -210,3 +210,42 @@ def test_phash_fixture_no_drift(spark, sf_dir):
     assert len(imgs) == 60
     for _, r in imgs.iterrows():
         assert int(fx.loc[r.m]) == int(r.phash)
+
+
+def test_png_interop_with_jvm_imageio(spark):
+    """Two-way PNG interop against the JDK's independent codec
+    (javax.imageio via Spark's JVM): lossless both directions, so the
+    comparison is exact pixel equality, not a PSNR bound."""
+    import numpy as np
+    jvm = spark._jvm
+    h, w = 13, 19
+    px = im.render_pixels(77, w, h)
+
+    def bimg_to_np(bimg):
+        out = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = bimg.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255,
+                             rgb & 255]
+        return out
+
+    # ours -> ImageIO.read: exact
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(
+            bytearray(im.encode_pixels(px, "png"))))
+    assert (bimg.getWidth(), bimg.getHeight()) == (w, h)
+    np.testing.assert_array_equal(bimg_to_np(bimg), px)
+
+    # ImageIO.write -> our decoder: exact (ImageIO picks its own
+    # scanline filters, exercising the filter-1/3/4 decode paths)
+    bimg2 = jvm.java.awt.image.BufferedImage(w, h, 1)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            bimg2.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bimg2, "png", baos)
+    theirs = bytes(baos.toByteArray())
+    np.testing.assert_array_equal(
+        im.decode_pixels(theirs, "png", w, h), px)

@@ -194,3 +194,33 @@ def test_decode_stats_fixture_no_drift(spark, sf_dir):
         assert int(fx.loc[r.cm, "phash"]) == int(r.phash) == int(r.phash_check)
         assert int(fx.loc[r.cm, "mean_lum_c"]) == int(r.mlc)
     imgs.unpersist()
+
+
+def test_wav_interop_with_jvm_audiosystem(spark):
+    """Two-way WAV interop against the JDK's independent RIFF reader
+    (javax.sound.sampled via Spark's JVM): exact PCM bytes both ways."""
+    jvm = spark._jvm
+    pcm = md.render_pcm(17, 500)
+
+    # ours -> AudioSystem: format fields + exact sample bytes
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(
+            bytearray(md.encode_audio(pcm, "wav"))))
+    fmt = ais.getFormat()
+    assert fmt.getSampleRate() == float(md.WAV_RATE)
+    assert fmt.getSampleSizeInBits() == 16 and fmt.getChannels() == 1
+    assert not fmt.isBigEndian()
+    got = np.frombuffer(bytes(ais.readAllBytes()), "<i2")
+    np.testing.assert_array_equal(got, pcm)
+
+    # AudioSystem writes a WAVE from raw PCM -> our decoder: exact
+    jfmt = jvm.javax.sound.sampled.AudioFormat(
+        float(md.WAV_RATE), 16, 1, True, False)
+    raw = pcm.astype("<i2").tobytes()
+    ais2 = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(raw)), jfmt, len(pcm))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    wave_t = jvm.javax.sound.sampled.AudioFileFormat.Type.WAVE
+    jvm.javax.sound.sampled.AudioSystem.write(ais2, wave_t, baos)
+    theirs = bytes(baos.toByteArray())
+    np.testing.assert_array_equal(md.decode_audio(theirs, "wav"), pcm)
