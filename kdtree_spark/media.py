@@ -3,9 +3,9 @@
 Same design contract as images.py: media rides in opaque `binary`
 columns with typed metadata; every pipeline op is an Arrow-batched
 `mapInPandas` (schema, partitioning and batch shape are real and
-tested); compressed-audio codecs (webm/opus/mp3) are HONESTLY STUBBED
-behind NotImplementedError because no DSP libraries exist in this
-container — the synthetic formats (`rawv`/`rawvz` frame stacks,
+tested); compressed codecs (webm video, opus/mp3 audio) are HONESTLY
+STUBBED behind NotImplementedError because no DSP libraries exist in
+this container — the synthetic formats (`rawv`/`rawvz` frame stacks,
 `pcm16`/`pcmz` int16 PCM) exercise the identical code path losslessly.
 Three REAL standard containers ride the same paths: `wav` (RIFF PCM
 via the stdlib `wave` module, lossless mono int16), `avi` (RIFF/AVI
