@@ -214,6 +214,40 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float("inf") if mse == 0 else 20 * np.log10(255.0 / np.sqrt(mse))
 
 
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
+    """Mean structural similarity (Wang et al. 2004) over luma, with
+    non-overlapping win x win windows and the standard constants
+    (K1=0.01, K2=0.03, L=255). Pure vectorized numpy; 1.0 iff
+    identical. The PSNR companion for decoded-tile quality checks."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    x = a.astype(np.float64).mean(axis=2) if a.ndim == 3 else \
+        a.astype(np.float64)
+    y = b.astype(np.float64).mean(axis=2) if b.ndim == 3 else \
+        b.astype(np.float64)
+    h, w = x.shape
+    wh, ww = max(1, min(win, h)), max(1, min(win, w))
+    hh, wt = (h // wh) * wh, (w // ww) * ww
+    if hh == 0 or wt == 0:
+        raise ValueError("image smaller than one SSIM window")
+
+    def tiles(p):
+        return (p[:hh, :wt].reshape(hh // wh, wh, wt // ww, ww)
+                .transpose(0, 2, 1, 3).reshape(-1, wh * ww))
+
+    tx, ty = tiles(x), tiles(y)
+    mx, my = tx.mean(axis=1), ty.mean(axis=1)
+    dx, dy = tx - mx[:, None], ty - my[:, None]
+    # centered two-pass moments: numerically stable, exactly 1.0 on
+    # identical inputs (the one-pass E[xy]-mx*my form is not)
+    vx, vy = (dx * dx).mean(axis=1), (dy * dy).mean(axis=1)
+    cov = (dx * dy).mean(axis=1)
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    s = (((2 * mx * my + c1) * (2 * cov + c2))
+         / ((mx * mx + my * my + c1) * (vx + vy + c2)))
+    return float(s.mean())
+
+
 def phash64(px: np.ndarray) -> int:
     """64-bit perceptual hash: 8x8 block-mean grayscale, threshold at the
     global mean, row-major bit pack. Deterministic pure-numpy."""

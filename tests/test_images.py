@@ -249,3 +249,27 @@ def test_png_interop_with_jvm_imageio(spark):
     theirs = bytes(baos.toByteArray())
     np.testing.assert_array_equal(
         im.decode_pixels(theirs, "png", w, h), px)
+
+
+def test_ssim_properties():
+    """SSIM (the PSNR companion): 1.0 iff identical, symmetric, in
+    (0, 1], monotone with JPEG quality, and sensitive to structural
+    damage that leaves MSE unchanged."""
+    from kdtree_spark import jpeg
+    px = im.render_pixels(21, 32, 32)
+    assert im.ssim(px, px) == 1.0
+    q50 = jpeg.decode(jpeg.encode(px, 50))
+    q95 = jpeg.decode(jpeg.encode(px, 95))
+    s50, s95 = im.ssim(px, q50), im.ssim(px, q95)
+    assert 0.0 < s50 < s95 < 1.0
+    assert abs(im.ssim(q50, px) - s50) < 1e-12       # symmetric
+    # same MSE, different structure: shuffling pixel positions keeps
+    # the global histogram (and roughly the MSE) but destroys local
+    # covariance -> SSIM must drop far below the JPEG score
+    rng = np.random.default_rng(0)
+    flat = px.reshape(-1, 3).copy()
+    rng.shuffle(flat, axis=0)
+    shuffled = flat.reshape(px.shape)
+    assert im.ssim(px, shuffled) < s50
+    with pytest.raises(ValueError):
+        im.ssim(px, px[:16])
