@@ -235,6 +235,34 @@ def _category(v: int) -> int:
 _CAT = [v.bit_length() for v in range(2048)]
 
 
+def _pack_bits(codes: list[int], lens: list[int]) -> bytes:
+    """Vectorized MSB-first bit packer for one entropy segment: expand
+    every (code, length) pair to its bits via cumsum/searchsorted,
+    packbits, pad the final byte with 1-bits, and byte-stuff 0x00
+    after each 0xFF (F.1.2.3) — all numpy, no per-bit Python."""
+    if not codes:
+        return b""
+    ln = np.asarray(lens, np.int64)
+    cd = np.asarray(codes, np.int64)
+    ends = np.cumsum(ln)
+    total = int(ends[-1])
+    idx = np.arange(total, dtype=np.int64)
+    sym = np.searchsorted(ends, idx, side="right")
+    j = idx - (ends[sym] - ln[sym])          # bit position within code
+    bits = (cd[sym] >> (ln[sym] - 1 - j)) & 1
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.int64)])
+    packed = np.packbits(bits.astype(np.uint8))
+    ff = packed == 0xFF
+    if not ff.any():
+        return packed.tobytes()
+    reps = np.where(ff, 2, 1)
+    out = np.repeat(packed, reps)
+    out[np.cumsum(reps)[ff] - 1] = 0x00      # the inserted stuffing byte
+    return out.tobytes()
+
+
 def _amplitude(v: int, size: int) -> int:
     """Additional bits: v itself if positive, one's complement if negative."""
     return v if v >= 0 else v + (1 << size) - 1
@@ -305,8 +333,10 @@ def encode(px: np.ndarray, quality: int = 98,
                _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
     ac_tabs = (_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
-    bw = _BitWriter()
-    put = bw.put
+    # the hot loop only APPENDS (code, length) pairs; the vectorized
+    # packer turns each restart segment into stuffed bytes at the end
+    seg_pairs: list[tuple[list[int], list[int]]] = [([], [])]
+    codes, lens = seg_pairs[0]
     prev_dc = [0, 0, 0]
     mcu_cols, mcu_rows = ww // al, hh // al
     n_mcu = mcu_cols * mcu_rows
@@ -314,11 +344,10 @@ def encode(px: np.ndarray, quality: int = 98,
     sched = [(c, 0 if c == 0 else 1, hv[1], hv[0], dv, dh)
              for c, hv in enumerate(hvs)
              for dv in range(hv[1]) for dh in range(hv[0])]
-    rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
-            bw.raw_marker(0xD0 + rst)
-            rst = (rst + 1) & 7
+            seg_pairs.append(([], []))
+            codes, lens = seg_pairs[-1]
             prev_dc = [0, 0, 0]
         mr, mc_ = divmod(m, mcu_cols)
         for c, t, vi, hi, dv, dh in sched:
@@ -329,9 +358,15 @@ def encode(px: np.ndarray, quality: int = 98,
             prev_dc[c] = dc
             size = _CAT[diff] if diff >= 0 else _CAT[-diff]
             code, ln = dc_tabs[t][size]
-            put(code, ln)
             if size:
-                put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                codes.append((code << size)
+                             | ((diff if diff >= 0
+                                 else diff + (1 << size) - 1)
+                                & ((1 << size) - 1)))
+                lens.append(ln + size)
+            else:
+                codes.append(code)
+                lens.append(ln)
             # AC run-length over zigzag positions 1..63
             ac_t = ac_tabs[t]
             last = -1
@@ -341,17 +376,26 @@ def encode(px: np.ndarray, quality: int = 98,
                 last = pos
                 while run > 15:
                     code, ln = ac_t[0xF0]                 # ZRL
-                    put(code, ln)
+                    codes.append(code)
+                    lens.append(ln)
                     run -= 16
                 v = nzv[i]
                 size = _CAT[v] if v >= 0 else _CAT[-v]
                 code, ln = ac_t[(run << 4) | size]
-                put(code, ln)
-                put(v if v >= 0 else v + (1 << size) - 1, size)
+                codes.append((code << size)
+                             | ((v if v >= 0 else v + (1 << size) - 1)
+                                & ((1 << size) - 1)))
+                lens.append(ln + size)
             if last != 62:
                 code, ln = ac_t[0x00]                     # EOB
-                put(code, ln)
-    entropy = bw.flush()
+                codes.append(code)
+                lens.append(ln)
+    parts = []
+    for si, (scodes, slens) in enumerate(seg_pairs):
+        if si:
+            parts.append(bytes([0xFF, 0xD0 + ((si - 1) & 7)]))
+        parts.append(_pack_bits(scodes, slens))
+    entropy = b"".join(parts)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
