@@ -11,11 +11,17 @@ standards-conformant writer/reader for the subset we emit:
            scaling formula), Annex K.3 Huffman tables, interleaved
            single-scan baseline, optional restart intervals. Output
            opens in any JPEG decoder.
-  decoder: baseline sequential (SOF0/1), 8-bit, 1 or 3 components at
-           any sampling factors in {1,2,4} (covers 4:4:4 / 4:2:2 /
-           4:2:0 / 4:1:1; nearest-neighbor chroma upsampling),
-           restart intervals honored; progressive (SOF2) and
-           arithmetic coding raise NotImplementedError.
+  decoder: baseline sequential (SOF0/1) AND progressive (SOF2 —
+           spectral selection + successive approximation, DC/AC
+           first and refinement scans, EOBRUN, G.2), 8-bit, 1 or 3
+           components at any sampling factors in {1,2,4} (covers
+           4:4:4 / 4:2:2 / 4:2:0 / 4:1:1; nearest-neighbor chroma
+           upsampling), restart intervals honored; arithmetic coding
+           and lossless/hierarchical modes raise NotImplementedError.
+           Progressive correctness is pinned by a bit-exactness
+           oracle: libjpeg's sequential and progressive encodings of
+           the same pixels decode to IDENTICAL arrays through this
+           module (tests/test_jpeg.py).
 
 All per-block math (color transform, DCT, quantize, dequantize, IDCT)
 is vectorized numpy over every block at once; only the entropy coder
@@ -457,14 +463,17 @@ def _huff_lut(bits: tuple[int, ...],
     return sym.tolist(), ln.tolist()
 
 
-def _entropy_segments(data: bytes,
-                      pos: int) -> list[tuple[bytes, int | None]]:
+def _entropy_segments(
+        data: bytes, pos: int,
+) -> tuple[list[tuple[bytes, int | None]], int]:
     """Split the scan's entropy bytes at restart markers and un-stuff
-    each piece: [(unstuffed bytes, terminating RSTn id or None)].
-    Stops at the first non-RST marker (normally EOI)."""
+    each piece: ([(unstuffed bytes, terminating RSTn id or None)],
+    offset of the terminating marker). Stops at the first non-RST
+    marker (EOI, or the next scan header in a progressive stream)."""
     segs: list[tuple[bytes, int | None]] = []
     start = i = pos
     n = len(data)
+    end = n
     while True:
         j = data.find(b"\xff", i)
         if j < 0 or j + 1 >= n:
@@ -478,8 +487,9 @@ def _entropy_segments(data: bytes,
             start = i = j + 2
         else:
             segs.append((data[start:j], None))
+            end = j
             break
-    return [(s.replace(b"\xff\x00", b"\xff"), r) for s, r in segs]
+    return [(s.replace(b"\xff\x00", b"\xff"), r) for s, r in segs], end
 
 
 def _seg_windows(buf: bytes) -> tuple[list[int], int]:
@@ -518,6 +528,8 @@ def _decode_impl(data: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
+    progressive = False
+    prog: _ProgState | None = None
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -527,6 +539,8 @@ def _decode_impl(data: bytes) -> np.ndarray:
             continue
         marker = data[pos + 1]
         if marker == 0xD9:
+            if prog is not None:
+                break                # progressive: all scans consumed
             raise ValueError("JPEG EOI before SOS")
         ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         payload = data[pos + 4:pos + 2 + ln]
@@ -553,7 +567,7 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + nv])
                 htabs[tc_th] = _huff_lut(tuple(bits), tuple(vals))
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:            # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
@@ -566,10 +580,12 @@ def _decode_impl(data: bytes) -> np.ndarray:
                         f"JPEG sampling factors {hi}x{vi} unsupported")
                 comps.append((cid, hi, vi, qid))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG supported")
+                "only baseline sequential and progressive (SOF0/1/2) "
+                "JPEG supported")
         elif marker == 0xDD:                              # DRI
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:                              # SOS
@@ -582,10 +598,206 @@ def _decode_impl(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 15))
-            return _decode_scan(data, pos, sof, scan, qtabs, htabs,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos, sof, scan, qtabs, htabs,
+                                    restart_interval)
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgState(sof)
+            pos = _decode_prog_scan(data, pos, prog, scan, ss, se,
+                                    ahal >> 4, ahal & 15, htabs,
+                                    restart_interval)
         # else: APPn / COM / etc — skipped
+    if prog is not None:
+        cid_to_qid = {cid: qid for cid, _h, _v, qid in prog.comps}
+        meta = []
+        for c, (cid, hi, vi, qid) in enumerate(prog.comps):
+            qt = qtabs.get(qid)
+            if qt is None:
+                raise ValueError("JPEG scan references missing table")
+            meta.append((qt, hi, vi, prog.cols[c], prog.rows[c]))
+        return _reassemble(prog.flat, meta, prog.h, prog.w, prog.hmax,
+                           prog.vmax, prog.mcu_rows, prog.mcu_cols)
     raise ValueError("JPEG truncated before SOS")
+
+
+class _ProgState:
+    """Coefficient accumulator across a progressive stream's scans."""
+
+    def __init__(self, sof):
+        h, w, comps = sof
+        self.h, self.w = h, w
+        self.comps = comps                       # (cid, hi, vi, qid)
+        self.hmax = max(hi for _, hi, _, _ in comps)
+        self.vmax = max(vi for _, _, vi, _ in comps)
+        self.mcu_cols = -(-w // (8 * self.hmax))
+        self.mcu_rows = -(-h // (8 * self.vmax))
+        self.idx = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+        self.cols = [self.mcu_cols * hi for _, hi, _, _ in comps]
+        self.rows = [self.mcu_rows * vi for _, _, vi, _ in comps]
+        # non-interleaved block grids (A.2.2: ceil over the component's
+        # own sample dimensions, NOT padded to MCU boundaries)
+        def ceil_div(a, b):
+            return -(-a // b)
+
+        self.nbw = [ceil_div(ceil_div(w * hi, self.hmax), 8)
+                    for _, hi, _, _ in comps]
+        self.nbh = [ceil_div(ceil_div(h * vi, self.vmax), 8)
+                    for _, _, vi, _ in comps]
+        self.flat = [[0] * (self.rows[c] * self.cols[c] * 64)
+                     for c in range(len(comps))]
+
+
+def _decode_prog_scan(data, pos, state, scan, ss, se, ah, al, htabs,
+                      restart_interval):
+    """Decode ONE progressive scan (G.2) into state.flat; returns the
+    offset of the marker terminating the scan's entropy data."""
+    rd = _ScanReader(data, pos)
+    nc = len(scan)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        # DC scan: interleaved MCU order when multi-component,
+        # component block raster when single
+        tabs = []
+        for cs, td, _ta in scan:
+            c = state.idx.get(cs)
+            if c is None:
+                raise ValueError(f"scan references unknown component {cs}")
+            dc = htabs.get(td) if ah == 0 else None
+            if ah == 0 and dc is None:
+                raise ValueError("JPEG scan references missing table")
+            tabs.append((c, dc))
+        prev = [0] * nc
+        if nc > 1:
+            units = state.mcu_cols * state.mcu_rows
+        else:
+            c0 = tabs[0][0]
+            units = state.nbw[c0] * state.nbh[c0]
+        rst = 0
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                rd.restart(rst)
+                rst = (rst + 1) & 7
+                prev = [0] * nc
+            if nc > 1:
+                mr, mc_ = divmod(m, state.mcu_cols)
+                sched = []
+                for si, (c, dc) in enumerate(tabs):
+                    _cid, hi, vi, _q = state.comps[c]
+                    for dv in range(vi):
+                        for dh in range(hi):
+                            sched.append((si, c, dc,
+                                          ((mr * vi + dv) * state.cols[c]
+                                           + (mc_ * hi + dh)) * 64))
+            else:
+                c, dc = tabs[0]
+                by, bx = divmod(m, state.nbw[c])
+                sched = [(0, c, dc, (by * state.cols[c] + bx) * 64)]
+            for si, c, dc, base in sched:
+                co = state.flat[c]
+                if ah == 0:
+                    size = rd.huff(dc[0], dc[1])
+                    if size:
+                        prev[si] += _extend(rd.bits(size), size)
+                    co[base] = prev[si] << al
+                else:                            # DC refinement: 1 bit
+                    if rd.bit():
+                        co[base] |= 1 << al
+            rd.check()
+        return rd.end
+    # AC scan: single component, non-interleaved (G.1.1.1.1)
+    if nc != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _td, ta = scan[0]
+    c = state.idx.get(cs)
+    if c is None:
+        raise ValueError(f"scan references unknown component {cs}")
+    ac = htabs.get(0x10 | ta)
+    if ac is None:
+        raise ValueError("JPEG scan references missing table")
+    ac_sym, ac_len = ac
+    co = state.flat[c]
+    stride = state.cols[c]
+    units = state.nbw[c] * state.nbh[c]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    rst = 0
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            rd.restart(rst)
+            rst = (rst + 1) & 7
+            eobrun = 0
+        by, bx = divmod(m, state.nbw[c])
+        base = (by * stride + bx) * 64
+        if ah == 0:                              # first AC scan of band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rd.huff(ac_sym, ac_len)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16                  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1        # EOBn
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC coefficient overrun")
+                co[base + k] = _extend(rd.bits(s), s) << al
+                k += 1
+        else:                                    # AC refinement (G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.huff(ac_sym, ac_len)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            # NO -1 here: the post-loop EOB handler
+                            # still consumes the CURRENT block's
+                            # correction bits, then decrements
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.bits(r)
+                            break
+                        val = 0                  # ZRL in refinement
+                    elif s == 1:
+                        val = p1 if rd.bit() else m1
+                    else:
+                        raise ValueError(
+                            "invalid size in AC refinement scan")
+                    while k <= se:
+                        if co[base + k]:
+                            if rd.bit() and not (co[base + k] & p1):
+                                co[base + k] += (p1 if co[base + k] >= 0
+                                                 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        co[base + k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if co[base + k]:
+                        if rd.bit() and not (co[base + k] & p1):
+                            co[base + k] += (p1 if co[base + k] >= 0
+                                             else m1)
+                    k += 1
+                eobrun -= 1
+        rd.check()
+    return rd.end
 
 
 def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
@@ -623,7 +835,7 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
                               dc[0], dc[1], ac[0], ac[1]))
     if len(sched) > 10:
         raise ValueError("JPEG MCU has more than 10 data units (B.2.3)")
-    segs = _entropy_segments(data, pos)
+    segs, _end = _entropy_segments(data, pos)
     seg_i = 0
     win_l, nbits = _seg_windows(segs[0][0])
     bp = 0
@@ -695,17 +907,25 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
                 k += 1
         if bp > nbits:
             raise ValueError("JPEG entropy data truncated")
-    # vectorized dequantize + IDCT + reassembly per component, each on
-    # its own block grid, upsampled to the full-resolution MCU grid
+    meta = [(qt, hi, vi, cols[c], rows[c])
+            for c, (_dc, _ac, qt, hi, vi) in enumerate(order)]
+    return _reassemble(flat, meta, h, w, hmax, vmax, mcu_rows, mcu_cols)
+
+
+def _reassemble(flat, meta, h, w, hmax, vmax, mcu_rows, mcu_cols):
+    """Shared decode tail (baseline + progressive): vectorized
+    dequantize + IDCT + reassembly per component, each on its own
+    block grid, upsampled to the full-resolution MCU grid."""
+    nc = len(meta)
     hh, ww = mcu_rows * vmax * 8, mcu_cols * hmax * 8
     planes = np.empty((nc, hh, ww))
-    for c, (_dc, _ac, qt, hi, vi) in enumerate(order):
+    for c, (qt, hi, vi, ccols, crows) in enumerate(meta):
         coefs = np.array(flat[c], np.int32).reshape(-1, 64)
         dq = np.zeros_like(coefs, dtype=np.float64)
         dq[:, ZIGZAG] = coefs * qt.reshape(-1)[ZIGZAG]
         blocks = np.einsum("xu,nuv,yv->nxy", _D.T, dq.reshape(-1, 8, 8),
                            _D.T)
-        plane = _from_blocks(blocks, rows[c] * 8, cols[c] * 8)
+        plane = _from_blocks(blocks, crows * 8, ccols * 8)
         ry, rx = vmax // vi, hmax // hi
         if ry > 1 or rx > 1:       # nearest-neighbor chroma upsampling
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
@@ -717,3 +937,60 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
     if nc != 3:
         raise NotImplementedError(f"{nc}-component JPEG unsupported")
     return _ycbcr_to_rgb(planes)[:h, :w]
+
+
+class _ScanReader:
+    """Stateful bit/huffman reader for one (progressive) scan, over the
+    unstuffed restart segments; not the baseline hot path (that loop
+    inlines the same window mechanics for speed)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.segs, self.end = _entropy_segments(data, pos)
+        self.seg_i = 0
+        self.win, self.nbits = _seg_windows(self.segs[0][0])
+        self.bp = 0
+
+    def restart(self, expect: int) -> None:
+        if self.bp > self.nbits or self.segs[self.seg_i][1] != (expect & 7):
+            raise ValueError("missing JPEG restart marker")
+        self.seg_i += 1
+        if self.seg_i >= len(self.segs):
+            raise ValueError("missing JPEG restart marker")
+        self.win, self.nbits = _seg_windows(self.segs[self.seg_i][0])
+        self.bp = 0
+
+    def check(self) -> None:
+        if self.bp > self.nbits:
+            raise ValueError("JPEG entropy data truncated")
+
+    def bit(self) -> int:
+        try:
+            w40 = self.win[self.bp >> 3]
+        except IndexError:
+            raise ValueError("JPEG entropy data truncated") from None
+        b = (w40 >> (39 - (self.bp & 7))) & 1
+        self.bp += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        try:
+            w40 = self.win[self.bp >> 3]
+        except IndexError:
+            raise ValueError("JPEG entropy data truncated") from None
+        v = (w40 >> (40 - (self.bp & 7) - n)) & ((1 << n) - 1)
+        self.bp += n
+        return v
+
+    def huff(self, lut_sym: list[int], lut_len: list[int]) -> int:
+        try:
+            w40 = self.win[self.bp >> 3]
+        except IndexError:
+            raise ValueError("JPEG entropy data truncated") from None
+        v16 = (w40 >> (24 - (self.bp & 7))) & 0xFFFF
+        ln = lut_len[v16]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.bp += ln
+        return lut_sym[v16]

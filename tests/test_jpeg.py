@@ -162,12 +162,18 @@ def test_error_paths():
         jpeg.decode(good[:40])              # truncated before SOS
     with pytest.raises(ValueError):
         jpeg.decode(good[:-20])             # truncated entropy data
-    # progressive SOF2 refused, not mis-decoded
+    # a baseline scan relabeled SOF2 is malformed progressive data
+    # (full-band "DC" scan), not mis-decoded
     prog = bytearray(good)
     i = prog.find(b"\xFF\xC0")
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg.decode(bytes(prog))
+    # arithmetic-coded SOF stays an honest NotImplementedError
+    arith = bytearray(good)
+    arith[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError):
+        jpeg.decode(bytes(arith))
     # a sampling factor outside {1,2,4} is refused, not mis-parsed
     # (2x2 itself is now a supported layout — see the 4:2:0 tests)
     sub = bytearray(good)
@@ -302,3 +308,69 @@ def test_interop_with_jvm_imageio(spark):
     mse = np.mean((luma(back) - luma(their_own)) ** 2)
     assert 20 * np.log10(255.0 / np.sqrt(mse)) >= 45.0
     assert im.psnr(back, their_own) >= 20.0
+
+
+def _imageio_jpeg(jvm, px, progressive):
+    """Encode pixels with the JDK's libjpeg-based writer."""
+    h, w = px.shape[:2]
+    bimg = jvm.java.awt.image.BufferedImage(w, h, 1)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            bimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO \
+        .getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    if progressive:
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None),
+                 param)
+    ios.flush()
+    return bytes(baos.toByteArray())
+
+
+def test_progressive_decode_bit_exact_vs_sequential(spark):
+    """Progressive (SOF2) decoding, pinned by the strongest available
+    oracle: libjpeg encodes the same pixels sequentially and
+    progressively with identical quantization, so a correct
+    progressive decoder must recover the IDENTICAL pixel array the
+    sequential path does — exact equality, not a PSNR bound. Two
+    sizes exercise multi-MCU EOBRUN spans and 4:2:0 sampling."""
+    jvm = spark._jvm
+    for seed, (h, w) in ((9, (20, 24)), (31, (56, 40))):
+        px = im.render_pixels(seed, w, h)
+        seq = _imageio_jpeg(jvm, px, progressive=False)
+        prog = _imageio_jpeg(jvm, px, progressive=True)
+        assert b"\xFF\xC0" in seq and b"\xFF\xC2" in prog
+        a, b = jpeg.decode(seq), jpeg.decode(prog)
+        assert a.shape == b.shape == (h, w, 3)
+        np.testing.assert_array_equal(a, b)
+        # and the decoded image resembles the original at the stream's
+        # own fidelity (default libjpeg quality, 4:2:0)
+        assert im.psnr(a, px) >= 12.0
+
+
+def test_progressive_error_paths_and_fuzz(spark):
+    """Truncated/mutated progressive streams surface as clean errors
+    (or decode to a valid array), never internal failures."""
+    jvm = spark._jvm
+    px = im.render_pixels(5, 24, 20)
+    prog = _imageio_jpeg(jvm, px, progressive=True)
+    with pytest.raises(ValueError):
+        jpeg.decode(prog[:60])
+    with pytest.raises(ValueError):
+        jpeg.decode(prog[:len(prog) // 2])
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        mut = bytearray(prog)
+        for _ in range(rng.integers(1, 6)):
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        try:
+            out = jpeg.decode(bytes(mut))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
