@@ -5,8 +5,9 @@ carries lossy-image rows whose per-row invariant is decoded-pixel PSNR
 >= 40 dB, which is only a real gate with a real lossy codec. This is a
 standards-conformant writer/reader for the subset we emit:
 
-  encoder: 8-bit, 3-component YCbCr (JFIF), 4:4:4 by default or 4:2:0
-           (2x2 box-mean chroma, the dominant real-world layout),
+  encoder: 8-bit, 3-component YCbCr (JFIF), 4:4:4 by default, 4:2:0
+           (2x2 box-mean chroma, the dominant real-world layout) or
+           4:2:2 (horizontal-only pooling, the broadcast layout),
            Annex K quantization tables scaled by `quality` (libjpeg
            scaling formula), Annex K.3 Huffman tables, interleaved
            single-scan baseline, optional restart intervals. Output
@@ -141,12 +142,6 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
             k += 1
         code <<= 1
     return out
-
-
-def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-at-a-time reader."""
-    enc = _huff_codes(bits, vals)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
 
 
 # orthonormal 8-point DCT-II matrix: forward coef = D @ block @ D.T
@@ -289,27 +284,30 @@ def encode(px: np.ndarray, quality: int = 98,
     MCUs (DC predictors reset, stream byte-aligned) — the standard's
     mechanism for error recovery and chunk-parallel decode.
 
-    subsampling: '444' (default — needed for the 40 dB gate) or '420'
+    subsampling: '444' (default — needed for the 40 dB gate), '420'
     (2x2-box-mean chroma, the dominant real-world layout; ~25% smaller
-    streams, chroma fidelity bounded by the subsample itself)."""
+    streams, chroma fidelity bounded by the subsample itself) or '422'
+    (horizontal-only 1x2 chroma pooling, the broadcast-video layout)."""
     h, w, _ = px.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sub = 2 if subsampling == "420" else 1
+    try:
+        sw, sv = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[subsampling]
+    except KeyError:
+        raise ValueError(f"unsupported subsampling {subsampling!r}") \
+            from None
     qt_l, qt_c = _quality_tables(quality)
     # pad by edge replication (minimizes ringing at edges) to the MCU
-    # granularity: 8 for 4:4:4, 16 for 4:2:0
-    al = 8 * sub
-    hh, ww = -(-h // al) * al, -(-w // al) * al
+    # granularity: 8x8 for 4:4:4, 16x16 for 4:2:0, 16x8 for 4:2:2
+    alw, alh = 8 * sw, 8 * sv
+    hh, ww = -(-h // alh) * alh, -(-w // alw) * alw
     padded = np.pad(px, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded) - 128.0
-    if sub == 2:       # 2x2 box-mean chroma planes
+    if sw > 1 or sv > 1:   # box-mean chroma pooling (sv rows x sw cols)
         comp_planes = [ycc[0]] + [
-            ycc[c].reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            ycc[c].reshape(hh // sv, sv, ww // sw, sw).mean(axis=(1, 3))
             for c in (1, 2)]
-        hvs = ((2, 2), (1, 1), (1, 1))
+        hvs = ((sw, sv), (1, 1), (1, 1))
     else:
         comp_planes = [ycc[0], ycc[1], ycc[2]]
         hvs = ((1, 1), (1, 1), (1, 1))
@@ -344,7 +342,7 @@ def encode(px: np.ndarray, quality: int = 98,
     seg_pairs: list[tuple[list[int], list[int]]] = [([], [])]
     codes, lens = seg_pairs[0]
     prev_dc = [0, 0, 0]
-    mcu_cols, mcu_rows = ww // al, hh // al
+    mcu_cols, mcu_rows = ww // alw, hh // alh
     n_mcu = mcu_cols * mcu_rows
     # interleaved block schedule per MCU (A.2.3): comp, then vi, then hi
     sched = [(c, 0 if c == 0 else 1, hv[1], hv[0], dv, dh)

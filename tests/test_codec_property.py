@@ -30,7 +30,7 @@ def small_image(draw):
 
 @settings(max_examples=40, deadline=None)
 @given(px=small_image(), quality=st.integers(50, 100),
-       subsampling=st.sampled_from(["444", "420"]))
+       subsampling=st.sampled_from(["444", "420", "422"]))
 def test_jpeg_roundtrip_any_content(px, quality, subsampling):
     data = jpeg.encode(px, quality, subsampling=subsampling)
     back = jpeg.decode(data)

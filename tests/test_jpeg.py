@@ -255,7 +255,34 @@ def test_420_structure_and_restart():
     assert b"\xFF\xDD" in r
     assert np.array_equal(jpeg.decode(r), jpeg.decode(data))
     with pytest.raises(ValueError):
-        jpeg.encode(px, subsampling="422")
+        jpeg.encode(px, subsampling="411")
+
+
+def test_422_subsampled_roundtrip():
+    """4:2:2 (horizontal-only chroma pooling, the broadcast layout):
+    exercises the non-square-sampling decode branch (hmax=2, vmax=1);
+    judged against the ideal DCT-free 1x2 subsample reference."""
+    for (h, w) in [(16, 16), (17, 23), (34, 50)]:
+        px = im.render_pixels(h * 7 + w, w, h)
+        back = jpeg.decode(jpeg.encode(px, 95, subsampling="422"))
+        assert back.shape == px.shape
+        hh, ww = -(-h // 8) * 8, -(-w // 16) * 16
+        pad = np.pad(px, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")
+        ycc = jpeg._rgb_to_ycbcr(pad)
+        for c in (1, 2):
+            d = ycc[c].reshape(hh, ww // 2, 2).mean(axis=2)
+            ycc[c] = d.repeat(2, 1)
+        ideal = jpeg._ycbcr_to_rgb(ycc)[:h, :w]
+        assert im.psnr(ideal, back) >= 34.0
+    # SOF advertises 2x1 Y sampling; restart intervals compose
+    data = jpeg.encode(im.render_pixels(1, 32, 16), 95, subsampling="422")
+    i = data.find(b"\xFF\xC0")
+    assert data[i + 11] == 0x21
+    px = im.render_pixels(5, 48, 24)
+    r = jpeg.encode(px, 95, restart_interval=2, subsampling="422")
+    assert np.array_equal(
+        jpeg.decode(r),
+        jpeg.decode(jpeg.encode(px, 95, subsampling="422")))
 
 
 def test_interop_with_jvm_imageio(spark):
