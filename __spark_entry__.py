@@ -73,11 +73,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #                           end through candidate generation)
 #   sliding_window_count -> sliding_window_knn (same insert/evict loop,
 #                           stronger per-slice probe)
+#   circle_count         -> circle_count_d5 (same d-generic ball kernel
+#                           at the superset dims; d=2 circles stay
+#                           covered by pytest + gate_check) — retired
+#                           to make sweep room for distance_join
 _RETIRED = frozenset({
     "cell_assign", "knn_k1", "range_count", "range_report",
     "insert_then_count", "delete_then_count", "update_then_knn_d3",
     "knn_k10_f64", "range_count_f64", "circle_count_f64",
-    "minhash_bands", "sliding_window_count",
+    "minhash_bands", "sliding_window_count", "circle_count",
 })
 
 # Never-driver-verified gates run first so even a truncated sweep
@@ -87,7 +91,7 @@ _RETIRED = frozenset({
 _FRONT = ("ann_srp_lsh", "ann_ivf", "image_phash_dedup", "image_meta",
           "image_knn", "simhash", "simhash_pairs", "ann_cosine_topk",
           "embedding_neardup", "circle_count_d5", "knn_k100_d5",
-          "hot_cell_knn")
+          "hot_cell_knn", "distance_join")
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from .. import fixtures, points
 from ..grid import Grid
 from ..index import SpatialIndex
+from ..queries.joins import distance_join
 from ..queries.knn import knn_join
 from ..queries.polygon import (point_in_polygon, polygon_join_sql,
                                tile_cell_assign, tile_cell_assign_sql)
@@ -1054,6 +1055,36 @@ def sql_tile_cells() -> str:
     return tile_cell_assign_sql(Grid(GRID_G), fixtures.tiles_values_sql(TILES))
 
 
+# ----------------------------------------------------- radius distance join
+
+DIST_JOIN_R = 7_000  # ~9 partners/query at sf0.01 density
+
+
+def q_distance_join(spark, sf_dir) -> DataFrame:
+    """Bichromatic radius join (queries/joins.py): the ~1% query sample
+    against the full uniform point set, all pairs within DIST_JOIN_R.
+    Fully JVM-side (cell-expand + equi-join + codegen filter) — the
+    one spatial primitive whose 100 TB plan needs no index blobs and
+    no Python at all."""
+    q = points.load_query_points(spark, sf_dir, "uniform") \
+        .select(F.col("qid"), "x", "y")
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    return distance_join(q, pts, DIST_JOIN_R, grid=Grid(GRID_G),
+                         left_id="qid", right_id="pid")
+
+
+def sql_distance_join() -> str:
+    r = DIST_JOIN_R
+    return f"""
+WITH pts AS ({_pts_sql()}),
+q AS (SELECT qid, x AS qx, y AS qy FROM ({_q_sql()}))
+SELECT q.qid, p.pid,
+       (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist_sq
+FROM q JOIN pts p
+  ON (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+     <= {r} * {r}"""
+
+
 # ----------------------------------------------------- snapshot round-trip
 
 def q_snapshot_roundtrip(spark, sf_dir) -> DataFrame:
@@ -1188,6 +1219,7 @@ QUERIES = {
     "incremental_delete": q_incremental_delete,
     "point_in_polygon": q_point_in_polygon,
     "tile_cells": q_tile_cells,
+    "distance_join": q_distance_join,
 }
 
 ORACLES = {
@@ -1232,4 +1264,5 @@ ORACLES = {
     "incremental_delete": sql_incremental_delete(),
     "point_in_polygon": sql_point_in_polygon(),
     "tile_cells": sql_tile_cells(),
+    "distance_join": sql_distance_join(),
 }

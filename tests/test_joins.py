@@ -1,0 +1,117 @@
+"""Radius distance join vs numpy brute force: planar, d=3, skew flood,
+r=0, and the count variant's zero rows."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kdtree_spark.grid import Grid
+from kdtree_spark.queries.joins import distance_join, distance_join_count
+
+
+def _brute_pairs(L, R, r):
+    """All (lid, rid, dist_sq) with dist^2 <= r^2, via numpy broadcast."""
+    lx = L[:, 1:].astype(np.int64)
+    rx = R[:, 1:].astype(np.int64)
+    d2 = ((lx[:, None, :] - rx[None, :, :]) ** 2).sum(axis=2)
+    li, ri = np.nonzero(d2 <= r * r)
+    return sorted(zip(L[li, 0].tolist(), R[ri, 0].tolist(),
+                      d2[li, ri].tolist()))
+
+
+def _mk(spark, arr, idc, cc):
+    cols = {idc: arr[:, 0]}
+    for j, c in enumerate(cc):
+        cols[c] = arr[:, 1 + j]
+    return spark.createDataFrame(pd.DataFrame(cols))
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("g", [4, 16, 64])
+def test_distance_join_planar(spark, g):
+    rng = np.random.default_rng(7)
+    L = np.column_stack([np.arange(120),
+                         rng.integers(0, 1_000_000, (120, 2))])
+    R = np.column_stack([np.arange(900),
+                         rng.integers(0, 1_000_000, (900, 2))])
+    r = 60_000
+    got = _collect(distance_join(_mk(spark, L, "lid", ("x", "y")),
+                                 _mk(spark, R, "rid", ("x", "y")),
+                                 r, grid=Grid(g)))
+    assert got == _brute_pairs(L, R, r)
+
+
+def test_distance_join_d3(spark):
+    rng = np.random.default_rng(11)
+    cc = ("x", "y", "z")
+    L = np.column_stack([np.arange(60),
+                         rng.integers(0, 1_000_000, (60, 3))])
+    R = np.column_stack([np.arange(500),
+                         rng.integers(0, 1_000_000, (500, 3))])
+    r = 150_000
+    got = _collect(distance_join(_mk(spark, L, "lid", cc),
+                                 _mk(spark, R, "rid", cc), r,
+                                 grid=Grid(8, dims=3), coord_cols=cc))
+    assert got == _brute_pairs(L, R, r)
+
+
+def test_distance_join_grid_dims_lt_coord_dims(spark):
+    """Grid keys on 2 dims while the predicate is exact over 3."""
+    rng = np.random.default_rng(13)
+    cc = ("x", "y", "z")
+    L = np.column_stack([np.arange(50),
+                         rng.integers(0, 1_000_000, (50, 3))])
+    R = np.column_stack([np.arange(400),
+                         rng.integers(0, 1_000_000, (400, 3))])
+    r = 120_000
+    got = _collect(distance_join(_mk(spark, L, "lid", cc),
+                                 _mk(spark, R, "rid", cc), r,
+                                 grid=Grid(8, dims=2), coord_cols=cc))
+    assert got == _brute_pairs(L, R, r)
+
+
+def test_distance_join_skew_flood(spark):
+    """A duplicate flood on one coordinate (hot cell) stays exact."""
+    rng = np.random.default_rng(17)
+    lpts = rng.integers(0, 1_000_000, (40, 2))
+    rpts = rng.integers(0, 1_000_000, (300, 2))
+    rpts[:150] = [500_000, 500_000]          # 150 identical rights
+    lpts[:10] = [500_020, 500_020]           # 10 lefts beside them
+    L = np.column_stack([np.arange(40), lpts])
+    R = np.column_stack([np.arange(300), rpts])
+    r = 1_000
+    got = _collect(distance_join(_mk(spark, L, "lid", ("x", "y")),
+                                 _mk(spark, R, "rid", ("x", "y")),
+                                 r, grid=Grid(32)))
+    assert got == _brute_pairs(L, R, r)
+    assert len(got) >= 10 * 150
+
+
+def test_distance_join_r0_and_default_grid(spark):
+    """r=0 matches exact coordinate duplicates only; default grid path."""
+    L = np.array([[0, 10, 10], [1, 20, 30], [2, 999_999, 0]])
+    R = np.array([[5, 10, 10], [6, 10, 10], [7, 20, 31], [8, 999_999, 0]])
+    got = _collect(distance_join(_mk(spark, L, "lid", ("x", "y")),
+                                 _mk(spark, R, "rid", ("x", "y")), 0))
+    assert got == [(0, 5, 0), (0, 6, 0), (2, 8, 0)]
+
+
+def test_distance_join_count_zero_rows(spark):
+    """Count variant: zero-neighbor lefts report cnt=0 (LEFT join)."""
+    rng = np.random.default_rng(23)
+    L = np.column_stack([np.arange(30),
+                         rng.integers(0, 1_000_000, (30, 2))])
+    R = np.column_stack([np.arange(200),
+                         rng.integers(0, 1_000_000, (200, 2))])
+    r = 30_000
+    got = dict(distance_join_count(
+        _mk(spark, L, "lid", ("x", "y")),
+        _mk(spark, R, "rid", ("x", "y")), r, grid=Grid(16)).collect())
+    brute = _brute_pairs(L, R, r)
+    exp = {int(lid): 0 for lid in L[:, 0]}
+    for lid, _, _ in brute:
+        exp[int(lid)] += 1
+    assert got == exp
