@@ -77,11 +77,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #                           at the superset dims; d=2 circles stay
 #                           covered by pytest + gate_check) — retired
 #                           to make sweep room for distance_join
+#   simhash              -> simhash_pairs + dedup_components (signatures
+#                           computed end-to-end inside both; retired to
+#                           make sweep room for dedup_components)
 _RETIRED = frozenset({
     "cell_assign", "knn_k1", "range_count", "range_report",
     "insert_then_count", "delete_then_count", "update_then_knn_d3",
     "knn_k10_f64", "range_count_f64", "circle_count_f64",
-    "minhash_bands", "sliding_window_count", "circle_count",
+    "minhash_bands", "sliding_window_count", "circle_count", "simhash",
 })
 
 # Never-driver-verified gates run first so even a truncated sweep
@@ -91,7 +94,7 @@ _RETIRED = frozenset({
 _FRONT = ("ann_srp_lsh", "ann_ivf", "image_phash_dedup", "image_meta",
           "image_knn", "simhash", "simhash_pairs", "ann_cosine_topk",
           "embedding_neardup", "circle_count_d5", "knn_k100_d5",
-          "hot_cell_knn", "distance_join")
+          "hot_cell_knn", "distance_join", "dedup_components")
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

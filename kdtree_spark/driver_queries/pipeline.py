@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..pipeline import ann, dedup, textops
+from ..pipeline import ann, components, dedup, textops
 from ..pipeline.common import (LANG_MARKERS, MINHASH_P, N_PERMS, SIG_BASE,
                                STOPWORDS, duck_h_sql, duck_quant_sql,
                                perm_a_sql, perm_b_sql)
@@ -236,6 +236,38 @@ FROM sh56 a JOIN sh56 b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 7"""
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: SimHash pairs (hamming <= 7) -> connected
+    components; every doc reports its component's min doc_id (the
+    canonical representative a dedup pipeline keeps). Exercises the
+    iterative hop+jump DataFrame algorithm end to end against a
+    DuckDB recursive-CTE fixpoint oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.simhash_pairs(docs, 7).select("da", "db")
+    return (components.connected_components(
+                pairs, docs.select("doc_id"), id_col="doc_id")
+            .selectExpr("id AS doc_id", "comp"))
+
+
+# min-label reachability fixpoint: r accumulates every (node, label of a
+# node that reaches it); UNION dedupes so the recursion terminates; the
+# final GROUP BY takes the component minimum. Symmetric edge list =>
+# min reachable label == component min.
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SIMHASH_CTE},
+p AS (SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sh56 a JOIN sh56 b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+e AS (SELECT da AS u, db AS v FROM p
+      UNION ALL SELECT db, da FROM p),
+r(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, r.lbl FROM r JOIN e ON r.id = e.u
+)
+SELECT id AS doc_id, MIN(lbl) AS comp FROM r GROUP BY id"""
+
+
 # ------------------------------------------------------- similarity search
 
 _VEC_CTE = f"""
@@ -333,6 +365,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_components": q_dedup_components,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_srp_lsh": q_ann_srp_lsh,
@@ -350,6 +383,7 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     # ann_srp_lsh, ann_ivf are approximate in WHICH candidates they
