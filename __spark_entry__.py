@@ -80,11 +80,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   simhash              -> simhash_pairs + dedup_components (signatures
 #                           computed end-to-end inside both; retired to
 #                           make sweep room for dedup_components)
+#   incremental_build    -> incr_build_and_query (identical slice-wise
+#                           batchInsert loop, kNN-probed at every third
+#                           state) + the range gates for the final
+#                           count; retired to make room for rect_join
 _RETIRED = frozenset({
     "cell_assign", "knn_k1", "range_count", "range_report",
     "insert_then_count", "delete_then_count", "update_then_knn_d3",
     "knn_k10_f64", "range_count_f64", "circle_count_f64",
     "minhash_bands", "sliding_window_count", "circle_count", "simhash",
+    "incremental_build",
 })
 
 # Never-driver-verified gates run first so even a truncated sweep
@@ -92,9 +97,10 @@ _RETIRED = frozenset({
 # gates new this round (d=5 circle/k=100 and the salted hot-cell
 # fan-out path).
 _FRONT = ("ann_srp_lsh", "ann_ivf", "image_phash_dedup", "image_meta",
-          "image_knn", "simhash", "simhash_pairs", "ann_cosine_topk",
+          "image_knn", "simhash_pairs", "ann_cosine_topk",
           "embedding_neardup", "circle_count_d5", "knn_k100_d5",
-          "hot_cell_knn", "distance_join", "dedup_components")
+          "hot_cell_knn", "distance_join", "dedup_components",
+          "rect_join")
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -105,7 +111,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged = _registry()
-    ordered = [n for n in _FRONT if n in merged]
+    ordered = [n for n in _FRONT if n in merged and n not in _RETIRED]
     ordered += [n for n in merged
                 if n not in _FRONT and n not in _RETIRED]
     out: dict[str, Callable] = {}

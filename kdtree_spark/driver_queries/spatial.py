@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from .. import fixtures, points
 from ..grid import Grid
 from ..index import SpatialIndex
-from ..queries.joins import distance_join
+from ..queries.joins import distance_join, rect_join
 from ..queries.knn import knn_join
 from ..queries.polygon import (point_in_polygon, polygon_join_sql,
                                tile_cell_assign, tile_cell_assign_sql)
@@ -1073,6 +1073,36 @@ def q_distance_join(spark, sf_dir) -> DataFrame:
                          left_id="qid", right_id="pid")
 
 
+def q_rect_join(spark, sf_dir) -> DataFrame:
+    """Rectangle-overlap join (queries/joins.py rect_join): window
+    rects derived from the ~1% query sample against per-point extent
+    rects over the full set — tile<->region matching, PBSM-style
+    reference-point dedup, fully JVM-side. Extents are pure SQL
+    arithmetic shared verbatim with the DuckDB oracle."""
+    q = points.load_query_points(spark, sf_dir, "uniform")
+    lt = q.selectExpr("qid", "x AS x0", "y AS y0",
+                      "x + 10000 + (qid % 7) * 5000 AS x1",
+                      "y + 10000 + (qid % 5) * 6000 AS y1")
+    pts = points.load_points(spark, sf_dir, "uniform")
+    rt = pts.selectExpr("pid", "x AS x0", "y AS y0",
+                        "x + pid % 2000 AS x1", "y + pid % 1900 AS y1")
+    return rect_join(lt, rt, grid=Grid(GRID_G),
+                     left_id="qid", right_id="pid")
+
+
+def sql_rect_join() -> str:
+    return f"""
+WITH lt AS (SELECT qid, qx AS lx0, qy AS ly0,
+                   qx + 10000 + (qid % 7) * 5000 AS lx1,
+                   qy + 10000 + (qid % 5) * 6000 AS ly1
+            FROM (SELECT qid, x AS qx, y AS qy FROM ({_q_sql()}))),
+rt AS (SELECT pid, x AS rx0, y AS ry0, x + pid % 2000 AS rx1,
+              y + pid % 1900 AS ry1 FROM ({_pts_sql()}))
+SELECT lt.qid, rt.pid
+FROM lt JOIN rt
+  ON lx0 <= rx1 AND rx0 <= lx1 AND ly0 <= ry1 AND ry0 <= ly1"""
+
+
 def sql_distance_join() -> str:
     r = DIST_JOIN_R
     return f"""
@@ -1220,6 +1250,7 @@ QUERIES = {
     "point_in_polygon": q_point_in_polygon,
     "tile_cells": q_tile_cells,
     "distance_join": q_distance_join,
+    "rect_join": q_rect_join,
 }
 
 ORACLES = {
@@ -1265,4 +1296,5 @@ ORACLES = {
     "point_in_polygon": sql_point_in_polygon(),
     "tile_cells": sql_tile_cells(),
     "distance_join": sql_distance_join(),
+    "rect_join": sql_rect_join(),
 }

@@ -98,6 +98,65 @@ def distance_join(left: DataFrame, right: DataFrame, r: int,
                         F.col("_rid").alias(right_id), "dist_sq")
 
 
+def rect_join(left: DataFrame, right: DataFrame,
+              grid: Grid | None = None,
+              left_id: str = "lid", right_id: str = "rid",
+              bounds=("x0", "y0", "x1", "y1")) -> DataFrame:
+    """Rectangle-overlap join: left (left_id, x0, y0, x1, y1) x right
+    (right_id, x0, y0, x1, y1) -> (left_id, right_id) for every pair of
+    rectangles that intersect (inclusive edges) — tile<->region matching
+    for the raster side of the tiling engine.
+
+    Physical design: partition-based spatial merge (the PBSM family,
+    Patel & DeWitt SIGMOD'96 — public literature) rendered as one Spark
+    equi-join. BOTH sides expand to their covered grid cells
+    (sequence() x explode, clipped), join on the cell id, then the
+    exact overlap predicate. Duplicate avoidance is the standard
+    reference-point trick: a pair is emitted only by the single cell
+    containing the intersection's min corner (GREATEST of the two min
+    corners), so no distinct() pass is needed — the output is exact
+    with one shuffle per side and everything in whole-stage codegen.
+    Planar (d=2), like the raster tiles it serves.
+    """
+    grid = grid or Grid(16)
+    assert grid.dims == 2
+    cw, g = grid.cw, grid.g
+
+    def expand(df, idc):
+        b = dict(zip(("x0", "y0", "x1", "y1"), bounds))
+        out = df.select(
+            F.col(idc), *[F.col(b[c]).alias(f"_{idc}_{c}")
+                          for c in ("x0", "y0", "x1", "y1")])
+        for ax, c0, c1 in (("cx", f"_{idc}_x0", f"_{idc}_x1"),
+                           ("cy", f"_{idc}_y0", f"_{idc}_y1")):
+            out = out.withColumn(f"_{ax}", F.explode(F.sequence(
+                F.expr(f"GREATEST({c0} DIV {cw}, 0)"),
+                F.expr(f"LEAST({c1} DIV {cw}, {g - 1})"))))
+        return (out.withColumn("_cell",
+                               F.col("_cx") * g + F.col("_cy"))
+                .drop("_cx", "_cy"))
+
+    lt = expand(left, left_id)
+    rt = expand(right, right_id)
+    lx0, ly0, lx1, ly1 = [f"_{left_id}_{c}" for c in ("x0", "y0",
+                                                      "x1", "y1")]
+    rx0, ry0, rx1, ry1 = [f"_{right_id}_{c}" for c in ("x0", "y0",
+                                                       "x1", "y1")]
+    overlap = F.expr(f"{lx0} <= {rx1} AND {rx0} <= {lx1} AND "
+                     f"{ly0} <= {ry1} AND {ry0} <= {ly1}")
+    # intersection min corner must fall in THIS cell (clipped like the
+    # expansions, so fully off-grid corners still land on the owning
+    # boundary cell consistently with both expansions)
+    ref = F.expr(
+        f"LEAST(GREATEST(GREATEST({lx0}, {rx0}) DIV {cw}, 0), {g - 1})"
+        f" * {g} + "
+        f"LEAST(GREATEST(GREATEST({ly0}, {ry0}) DIV {cw}, 0), {g - 1})")
+    return (lt.join(rt, "_cell")
+            .filter(overlap)
+            .filter(F.col("_cell") == ref)
+            .select(left_id, right_id))
+
+
 def distance_join_count(left: DataFrame, right: DataFrame, r: int,
                         grid: Grid | None = None,
                         coord_cols=("x", "y"),

@@ -6,7 +6,8 @@ import pandas as pd
 import pytest
 
 from kdtree_spark.grid import Grid
-from kdtree_spark.queries.joins import distance_join, distance_join_count
+from kdtree_spark.queries.joins import (distance_join, distance_join_count,
+                                        rect_join)
 
 
 def _brute_pairs(L, R, r):
@@ -115,3 +116,56 @@ def test_distance_join_count_zero_rows(spark):
     for lid, _, _ in brute:
         exp[int(lid)] += 1
     assert got == exp
+
+
+# ------------------------------------------------------------ rect_join
+
+def _brute_rects(A, B):
+    out = []
+    for aid, ax0, ay0, ax1, ay1 in A:
+        for bid, bx0, by0, bx1, by1 in B:
+            if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1:
+                out.append((aid, bid))
+    return sorted(out)
+
+
+def _mk_rects(spark, arr, idc):
+    cols = ["x0", "y0", "x1", "y1"]
+    pdf = pd.DataFrame(np.asarray(arr, np.int64),
+                       columns=[idc] + cols)
+    return spark.createDataFrame(pdf)
+
+
+def _rand_rects(rng, n, wmax):
+    x0 = rng.integers(0, 1_000_000, (n, 2))
+    w = rng.integers(0, wmax, (n, 2))
+    hi = np.minimum(x0 + w, 999_999)
+    return np.column_stack([np.arange(n), x0[:, 0], x0[:, 1],
+                            hi[:, 0], hi[:, 1]])
+
+
+@pytest.mark.parametrize("g", [4, 16, 64])
+def test_rect_join_random(spark, g):
+    rng = np.random.default_rng(41)
+    A = _rand_rects(rng, 80, 250_000)
+    B = _rand_rects(rng, 300, 40_000)
+    got = sorted(tuple(r) for r in rect_join(
+        _mk_rects(spark, A, "lid"), _mk_rects(spark, B, "rid"),
+        grid=Grid(g)).collect())
+    assert got == _brute_rects(A.tolist(), B.tolist())
+
+
+def test_rect_join_edge_touch_and_cell_straddle(spark):
+    """Inclusive edges; rects sharing only a boundary line count, and a
+    pair straddling many cells is emitted exactly once."""
+    cw = Grid(16).cw
+    A = [(0, 0, 0, 4 * cw, 4 * cw),          # covers 5x5 cells
+         (1, 10, 10, 20, 20)]
+    B = [(7, 4 * cw, 4 * cw, 999_999, 999_999),   # corner-touches A0
+         (8, 21, 10, 30, 20),                      # edge-adjacent to A1? (21>20: no)
+         (9, 20, 20, 25, 25)]                      # corner-touches A1
+    got = sorted(tuple(r) for r in rect_join(
+        _mk_rects(spark, A, "lid"), _mk_rects(spark, B, "rid"),
+        grid=Grid(16)).collect())
+    assert got == _brute_rects(A, B)
+    assert (0, 7) in got and (1, 9) in got and (1, 8) not in got
