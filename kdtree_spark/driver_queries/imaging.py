@@ -135,6 +135,39 @@ FROM ph a JOIN ph b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
 
 
+IMG_SPATIAL_R = 100_000
+IMG_SPATIAL_HAMMING = 26
+
+
+def q_image_spatial_phash(spark, sf_dir) -> DataFrame:
+    """Axes-A+B cross gate: image pairs spatially within IMG_SPATIAL_R
+    (centroid domain) AND perceptually within IMG_SPATIAL_HAMMING
+    phash bits — images.spatial_phash_pairs (distance_join blocking +
+    JVM popcount verify). Oracled via the phash fixture + the exact
+    centroid arithmetic."""
+    return im.spatial_phash_pairs(get_images(spark, sf_dir),
+                                  IMG_SPATIAL_R, IMG_SPATIAL_HAMMING,
+                                  grid=Grid(GRID_G))
+
+
+SQL_IMAGE_SPATIAL_PHASH = f"""
+WITH ph AS (
+  SELECT printf('img-%012d', d.doc_id) AS image_id,
+         {im.CX_SQL} AS cx, {im.CY_SQL} AS cy, f.phash
+  FROM documents d
+  JOIN read_parquet('{_PHASH_FIXTURE}') f
+    ON md5(d.text) = f.caption_md5
+)
+SELECT a.image_id AS ia, b.image_id AS ib,
+       (a.cx - b.cx) * (a.cx - b.cx)
+     + (a.cy - b.cy) * (a.cy - b.cy) AS dist_sq,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)
+      <= {IMG_SPATIAL_R}::BIGINT * {IMG_SPATIAL_R}::BIGINT
+  AND bit_count(xor(a.phash, b.phash)) <= {IMG_SPATIAL_HAMMING}"""
+
+
 def q_image_decode_stats(spark, sf_dir) -> DataFrame:
     """Decode + feature extraction over every image (round-trip PSNR is
     re-asserted >= 40 dB inside the query).
@@ -245,6 +278,7 @@ QUERIES = {
     "image_meta": q_image_meta,
     "image_knn": q_image_knn,
     "image_phash_dedup": q_image_phash_dedup,
+    "image_spatial_phash": q_image_spatial_phash,
     "image_decode_stats": q_image_decode_stats,
     "media_meta": q_media_meta,
     "video_frame_sample": q_video_frame_sample,
@@ -255,6 +289,7 @@ ORACLES = {
     "image_meta": SQL_IMAGE_META,
     "image_knn": SQL_IMAGE_KNN,
     "image_phash_dedup": SQL_IMAGE_PHASH_DEDUP,
+    "image_spatial_phash": SQL_IMAGE_SPATIAL_PHASH,
     "media_meta": _sql_media_meta(),
     # decode/frame/PCM values are pure functions of the caption text
     # (+ doc_id-derived fps/sr) -> oracled via precomputed fixtures,

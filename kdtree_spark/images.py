@@ -31,6 +31,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 IMAGE_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                 "caption string, phash long")
@@ -365,6 +366,38 @@ def resize_images(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         rz, "image_id string, bytes binary")
+
+
+def spatial_phash_pairs(images: DataFrame, r: int,
+                        max_hamming: int = 26, grid=None) -> DataFrame:
+    """Multimodal near-dup join: image pairs whose CENTROIDS are within
+    r in the kd-tree domain AND whose phashes are within max_hamming —
+    the raster<->vector cross the graft exists for (spatial blocking
+    first, perceptual verify second, both pruning axes composed).
+
+    -> (ia, ib, dist_sq, hamming), ia < ib, each pair once.
+
+    Physical plan: queries/joins.py distance_join on the centroid grid
+    (cell-expand equi-join, zero Python, no broadcast requirement)
+    carrying each side's phash as payload, then a JVM-side popcount
+    filter — at 10^12 images the spatial block cuts the candidate set
+    by (pi r^2 / domain^2) before any perceptual work, and no
+    phash-table re-join is needed.
+    """
+    from .queries.joins import distance_join
+    a = images.select(F.col("image_id").alias("ia"), "cx", "cy",
+                      F.col("phash").alias("pa"))
+    b = images.select(F.col("image_id").alias("ib"), "cx", "cy",
+                      F.col("phash").alias("pb"))
+    pairs = distance_join(a, b, r, grid=grid, coord_cols=("cx", "cy"),
+                          left_id="ia", right_id="ib",
+                          keep_left=("pa",), keep_right=("pb",))
+    return (pairs.filter(F.col("ia") < F.col("ib"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                        .cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("ia", "ib", "dist_sq", "hamming"))
 
 
 def phash_pairs(images: DataFrame, max_hamming: int = 7) -> DataFrame:

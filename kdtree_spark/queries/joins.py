@@ -54,14 +54,19 @@ def distance_join(left: DataFrame, right: DataFrame, r: int,
                   grid: Grid | None = None,
                   coord_cols=("x", "y"),
                   left_id: str = "lid",
-                  right_id: str = "rid") -> DataFrame:
+                  right_id: str = "rid",
+                  keep_left=(), keep_right=()) -> DataFrame:
     """left: (left_id, coords...), right: (right_id, coords...) ->
-    (left_id, right_id, dist_sq) for every pair with dist^2 <= r^2.
+    (left_id, right_id, dist_sq [, keep_left..., keep_right...]) for
+    every pair with dist^2 <= r^2.
 
     Coordinates are the repo's int64 domain [0, COORD_LIMIT)^d; d is
     len(coord_cols) and the grid keys cells on min(d, grid.dims) dims
     (the dims-keyed convention of grid.py) while the distance predicate
-    is exact over all d dims.
+    is exact over all d dims. keep_left/keep_right carry payload
+    columns through the join (names must not collide across sides) so
+    downstream per-pair predicates — e.g. a phash popcount — avoid a
+    second full-table join.
     """
     assert r >= 0
     if grid is None:
@@ -73,9 +78,10 @@ def distance_join(left: DataFrame, right: DataFrame, r: int,
     assert grid.dims <= len(cc)
     lcc = [f"_l_{c}" for c in cc]
     lt = left.select(F.col(left_id).alias("_lid"),
-                     *[F.col(c).alias(a) for c, a in zip(cc, lcc)])
+                     *[F.col(c).alias(a) for c, a in zip(cc, lcc)],
+                     *keep_left)
     rt = right.select(F.col(right_id).alias("_rid"),
-                      *cc,
+                      *cc, *keep_right,
                       F.expr(grid.spark_cell_sql_nd(cc)).alias("_cell"))
     # left expansion: one explode per grid dim, then compose the cell id
     bounds = _expand_cells_sql(grid, lcc, r)
@@ -95,7 +101,8 @@ def distance_join(left: DataFrame, right: DataFrame, r: int,
              .withColumn("dist_sq", d2)
              .filter(F.col("dist_sq") <= F.lit(int(r) * int(r))))
     return pairs.select(F.col("_lid").alias(left_id),
-                        F.col("_rid").alias(right_id), "dist_sq")
+                        F.col("_rid").alias(right_id), "dist_sq",
+                        *keep_left, *keep_right)
 
 
 def rect_join(left: DataFrame, right: DataFrame,

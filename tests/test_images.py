@@ -273,3 +273,25 @@ def test_ssim_properties():
     assert im.ssim(px, shuffled) < s50
     with pytest.raises(ValueError):
         im.ssim(px, px[:16])
+
+
+def test_spatial_phash_pairs_vs_brute(spark, sf_dir):
+    """Multimodal join (centroid radius AND phash hamming) vs a full
+    driver-side brute force over the synth table."""
+    from kdtree_spark.grid import Grid
+    imgs = im.synth_images(spark, sf_dir).cache()
+    got = im.spatial_phash_pairs(imgs, 120_000, 28,
+                                 grid=Grid(8)).toPandas()
+    pdf = imgs.select("image_id", "cx", "cy", "phash").toPandas()
+    rows = list(pdf.itertuples(index=False))
+    brute = {}
+    for a in rows:
+        for b in rows:
+            if a.image_id < b.image_id:
+                d2 = (a.cx - b.cx) ** 2 + (a.cy - b.cy) ** 2
+                h = _ham(a.phash, b.phash)
+                if d2 <= 120_000 ** 2 and h <= 28:
+                    brute[(a.image_id, b.image_id)] = (d2, h)
+    assert {(r.ia, r.ib): (r.dist_sq, r.hamming)
+            for r in got.itertuples(index=False)} == brute
+    assert len(brute) > 0
