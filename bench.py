@@ -217,6 +217,29 @@ def main() -> None:
         elif name in ("range_count", "circle_count"):
             extras[f"{name}_q_per_sec"] = round(cnt / timings[name], 1)
 
+    # -- late-round-5 operators (distance/rect joins, dedup clustering,
+    # spatial x phash): timed best-of-2 but reported under extras ONLY,
+    # so the headline suite wall keeps its round-1-4 query set and
+    # stays comparable round-over-round
+    if args.queries is None:
+        for name in ("distance_join", "rect_join", "dedup_components",
+                     "image_spatial_phash"):
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            cnt = fn(spark, sf_dir).count()
+            t_first = time.time() - t0
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            t_second = time.time() - t0
+            extras[f"{name}_sec"] = round(min(t_first, t_second), 3)
+            extras[f"{name}_rows"] = int(cnt)
+            trials[name] = [round(t_first, 3), round(t_second, 3)]
+        spark.catalog.clearCache()
+        from kdtree_spark.driver_queries import imaging as dqi
+        dqi._IMG_CACHE.clear()
+
     # -- sf1-scale leg (~6M rows, 10x the suite's sf0.1): build + kNN +
     # 10k-rect range count over synthetic points (points.synth_points —
     # same scramble family, generated distributedly). Reported under

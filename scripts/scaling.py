@@ -102,9 +102,11 @@ def run_one(cpus: int) -> dict:
 
     grid = Grid(GRID_G) if GRID_G else Grid.for_count(n)
     out = {"cpus": cpus, "rows": n, "n_queries": nq}
-    t0 = time.time()
-    idx = SpatialIndex.build(spark, rep, grid=grid, n_hint=n)
-    t_build = time.time() - t0
+    idx = None
+    if {"build", "knn", "range"} & set(OPS):
+        t0 = time.time()
+        idx = SpatialIndex.build(spark, rep, grid=grid, n_hint=n)
+        t_build = time.time() - t0
     if "build" in OPS:
         out["build_sec"] = round(t_build, 2)
         out["build_rows_per_sec"] = round(n / t_build, 1)
@@ -120,6 +122,19 @@ def run_one(cpus: int) -> dict:
         range_count(idx, boxes).count()
         out["range_sec"] = round(time.time() - t0, 2)
         out["range_q_per_sec"] = round(len(boxes) / out["range_sec"], 2)
+
+    if "join" in OPS:
+        # radius distance join (queries/joins.py): the one op whose
+        # whole plan is a single JVM equi-join — its scaling isolates
+        # Spark's shuffle/codegen path with no Python boundary at all.
+        # r=200 at this density -> ~5 partners per left row.
+        from kdtree_spark.queries.joins import distance_join
+        t0 = time.time()
+        npairs = distance_join(q, rep, 200,
+                               left_id="qid", right_id="pid").count()
+        out["join_sec"] = round(time.time() - t0, 2)
+        out["join_pairs"] = int(npairs)
+        out["join_q_per_sec"] = round(nq / out["join_sec"], 1)
     return out
 
 
