@@ -89,12 +89,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #                           update_then_knn_f64; the d=2 int kernel
 #                           stays gated via knn_k10 + the ratio sweeps;
 #                           retired to make room for image_spatial_phash
+#   knn_k10_d16          -> beyond-reference d=16 extension; its
+#                           dense-matmul kernel is pytest-gated
+#                           (test_localtree d>=9 configs) and the
+#                           dims-keyed grid path is driver-gated at
+#                           d=5; retired to make room for
+#                           polygon_overlay
 _RETIRED = frozenset({
     "cell_assign", "knn_k1", "range_count", "range_report",
     "insert_then_count", "delete_then_count", "update_then_knn_d3",
     "knn_k10_f64", "range_count_f64", "circle_count_f64",
     "minhash_bands", "sliding_window_count", "circle_count", "simhash",
-    "incremental_build", "update_then_knn",
+    "incremental_build", "update_then_knn", "knn_k10_d16",
 })
 
 # Never-driver-verified gates run first so even a truncated sweep
@@ -105,7 +111,7 @@ _FRONT = ("ann_srp_lsh", "ann_ivf", "image_phash_dedup", "image_meta",
           "image_knn", "simhash_pairs", "ann_cosine_topk",
           "embedding_neardup", "circle_count_d5", "knn_k100_d5",
           "hot_cell_knn", "distance_join", "dedup_components",
-          "rect_join", "image_spatial_phash")
+          "rect_join", "image_spatial_phash", "polygon_overlay")
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -19,8 +19,10 @@ from ..grid import Grid
 from ..index import SpatialIndex
 from ..queries.joins import distance_join, rect_join
 from ..queries.knn import knn_join
-from ..queries.polygon import (point_in_polygon, polygon_join_sql,
-                               tile_cell_assign, tile_cell_assign_sql)
+from ..queries.polygon import (point_in_polygon, polygon_join,
+                               polygon_join_oracle_sql, polygon_join_sql,
+                               polygons_df, tile_cell_assign,
+                               tile_cell_assign_sql)
 from ..queries.ranges import circle_count, range_count, range_report
 
 GRID_G = 8  # fixed grid for driver queries: 64 cells, sf-independent
@@ -1055,6 +1057,27 @@ def sql_tile_cells() -> str:
     return tile_cell_assign_sql(Grid(GRID_G), fixtures.tiles_values_sql(TILES))
 
 
+POLY_A = fixtures.gen_convex_polygons(40, seed=61)
+POLY_B = fixtures.gen_convex_polygons(60, seed=62)
+
+
+def q_polygon_overlay(spark, sf_dir) -> DataFrame:
+    """Convex polygon-polygon overlay join (queries/polygon.py
+    polygon_join): SAT over nested exists/forall higher-order
+    functions, cell-expand equi-join with reference-point dedup —
+    zero Python. Oracle: independent SQL SAT via edge x vertex
+    GROUP BY + bool_and/bool_or."""
+    return polygon_join(polygons_df(spark, POLY_A, "pa"),
+                        polygons_df(spark, POLY_B, "pb"),
+                        grid=Grid(GRID_G))
+
+
+def sql_polygon_overlay() -> str:
+    return polygon_join_oracle_sql(
+        fixtures.polygon_verts_values_sql(POLY_A, "vva"),
+        fixtures.polygon_verts_values_sql(POLY_B, "vvb"))
+
+
 # ----------------------------------------------------- radius distance join
 
 DIST_JOIN_R = 7_000  # ~9 partners/query at sf0.01 density
@@ -1251,6 +1274,7 @@ QUERIES = {
     "tile_cells": q_tile_cells,
     "distance_join": q_distance_join,
     "rect_join": q_rect_join,
+    "polygon_overlay": q_polygon_overlay,
 }
 
 ORACLES = {
@@ -1297,4 +1321,5 @@ ORACLES = {
     "tile_cells": sql_tile_cells(),
     "distance_join": sql_distance_join(),
     "rect_join": sql_rect_join(),
+    "polygon_overlay": sql_polygon_overlay(),
 }

@@ -135,6 +135,44 @@ def gen_polygons(n: int = 8, seed: int = 30,
     return out
 
 
+def gen_convex_polygons(n: int, seed: int = 50,
+                        nvert=(4, 9)) -> list[tuple[int, list]]:
+    """STRICTLY convex CCW integer polygons: (poly_id, [(x,y), ...]).
+
+    gen_polygons' int rounding can leave near-collinear rings slightly
+    concave, which is fine for its half-plane point test but breaks the
+    separating-axis polygon-polygon join (SAT is exact only for convex
+    rings). Here candidate rings are rejection-resampled (deterministic
+    under the seed) until every consecutive cross product is > 0."""
+    rng = np.random.default_rng(seed)
+    out = []
+    i = 0
+    while len(out) < n:
+        k = int(rng.integers(nvert[0], nvert[1] + 1))
+        cx = int(rng.integers(150_000, 850_000))
+        cy = int(rng.integers(150_000, 850_000))
+        rad = int(rng.integers(30_000, 140_000))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=k))
+        vx = np.rint(cx + rad * np.cos(ang)).astype(np.int64)
+        vy = np.rint(cy + rad * np.sin(ang)).astype(np.int64)
+        dx = np.diff(np.r_[vx, vx[0]])
+        dy = np.diff(np.r_[vy, vy[0]])
+        cross = dx * np.roll(dy, -1) - dy * np.roll(dx, -1)
+        if (cross > 0).all():
+            out.append((i, list(zip(vx.tolist(), vy.tolist()))))
+            i += 1
+    return out
+
+
+def polygon_verts_values_sql(polygons, alias: str = "v") -> str:
+    """(poly_id, vid, x, y) VALUES rows — one per vertex, vid in ring
+    order — for SQL-side edge reconstruction."""
+    rows = ", ".join(
+        f"({pid}, {j}, {x}, {y})"
+        for pid, verts in polygons for j, (x, y) in enumerate(verts))
+    return f"(VALUES {rows}) AS {alias}(poly_id, vid, x, y)"
+
+
 def gen_tiles(n: int = 12, seed: int = 40) -> list[tuple[int, int, int, int, int]]:
     """Raster tiles (tile_id, x0, y0, x1, y1) for tile<->cell assignment."""
     rng = np.random.default_rng(seed)
