@@ -209,3 +209,72 @@ class SnapshotStore:
                                  dims=int(man.get("grid_dims", 2))), df,
                             idx_manifest,
                             coord_cols=tuple(man["coord_cols"]))
+
+    # ------------------------------------------------------ pruned load
+
+    def prune_buckets(self, boxes, snapshot_id: str | None = None) -> list:
+        """Manifest-level scan pruning (the Iceberg predicate ->
+        file-skipping move): the bucket ids whose files can hold cells
+        intersecting ANY of `boxes` [(box_id, lo..., hi...) over the
+        grid dims, inclusive]. Pure driver arithmetic on the manifest —
+        O(intersecting cells) with an early exit at nbuckets (a
+        domain-sized box degenerates to "all buckets" without ever
+        enumerating a domain-sized cell set)."""
+        import itertools
+        sid = snapshot_id or self.current()
+        man = self._manifest(sid)
+        grid = Grid(int(man["grid_g"]), dims=int(man.get("grid_dims", 2)))
+        cw, g, d = grid.cw, grid.g, grid.dims
+        buckets: set = set()
+        for box in boxes:
+            lo, hi = box[1:1 + d], box[1 + d:1 + 2 * d]
+            ranges = []
+            for j in range(d):
+                a = max(int(lo[j]) // cw, 0)
+                b = min(int(hi[j]) // cw, g - 1)
+                if a > b:
+                    ranges = None
+                    break
+                ranges.append(range(a, b + 1))
+            if ranges is None:
+                continue
+            for coords in itertools.product(*ranges):
+                cell = 0
+                for c in coords:
+                    cell = cell * g + c
+                buckets.add(cell % self.nb)
+                if len(buckets) == self.nb:
+                    return sorted(buckets)
+        return sorted(buckets)
+
+    def load_pruned(self, spark: SparkSession, boxes,
+                    snapshot_id: str | None = None) -> SpatialIndex:
+        """Load ONLY the bucket files that can serve `boxes` — a PARTIAL
+        index, exact for queries contained in those boxes (range/circle
+        counts, reports) and unsound for anything else (kNN may need
+        neighbors outside the boxes). At 10^12 rows this is the
+        difference between opening nbuckets files and opening the few
+        a query window touches, decided from the manifest alone."""
+        sid = snapshot_id or self.current()
+        if sid is None:
+            raise FileNotFoundError(f"no CURRENT snapshot under {self.path}")
+        man = self._manifest(sid)
+        keep = set(self.prune_buckets(boxes, sid))
+        paths = sorted({os.path.join(self.path, p)
+                        for b, p in man["buckets"].items()
+                        if p is not None and int(b) in keep})
+        if not paths:  # every candidate bucket is empty at this version
+            full = self._read(spark, man)
+            df = full.filter(F.lit(False))
+        else:
+            df = spark.read.parquet(*paths)
+        idx_manifest = dict(kind="load_pruned", snapshot_id=sid,
+                            cells=man["cells"], grid_g=man["grid_g"],
+                            version=sid[:8],
+                            buckets_read=len(paths),
+                            buckets_total=self.nb)
+        return SpatialIndex(spark,
+                            Grid(int(man["grid_g"]),
+                                 dims=int(man.get("grid_dims", 2))), df,
+                            idx_manifest,
+                            coord_cols=tuple(man["coord_cols"]))

@@ -192,3 +192,35 @@ def test_images_table_index_snapshot_roundtrip(spark, sf_dir, tmp_path):
     assert set(old_rows2.nid).issubset(set(res1.nid))
     # sanity: the inserted batch is close enough to displace someone
     assert len(res1) == len(res2)
+
+
+def test_pruned_load_exact_and_skips_files(store_env):
+    """load_pruned reads a strict subset of bucket files yet answers
+    range counts for the pruned boxes exactly (vs a no-index brute
+    filter — independent within-Spark oracle)."""
+    from kdtree_spark.queries.ranges import range_count
+    spark, sf_dir, idx, store = store_env
+    sid = store.current() or store.commit(idx)
+    boxes = [(0, 100_000, 100_000, 220_000, 180_000),
+             (1, 700_000, 650_000, 760_000, 720_000)]
+    part = store.load_pruned(spark, boxes, sid)
+    assert 0 < part.manifest["buckets_read"] < part.manifest["buckets_total"]
+    got = {r["box_id"]: r["cnt"]
+           for r in range_count(part, boxes).collect()}
+    pts = points.load_points(spark, sf_dir, "uniform")
+    exp = {}
+    for b, x0, y0, x1, y1 in boxes:
+        exp[b] = pts.filter(f"x >= {x0} AND x <= {x1} AND "
+                            f"y >= {y0} AND y <= {y1}").count()
+    assert got == exp
+
+
+def test_prune_buckets_arithmetic(store_env):
+    """Driver-side bucket enumeration: off-grid boxes prune to nothing;
+    a domain-sized box early-exits to every bucket."""
+    spark, sf_dir, idx, store = store_env
+    sid = store.current() or store.commit(idx)
+    assert store.prune_buckets(
+        [(0, 2_000_000, 2_000_000, 3_000_000, 3_000_000)], sid) == []
+    assert store.prune_buckets(
+        [(0, 0, 0, 999_999, 999_999)], sid) == list(range(store.nb))
