@@ -99,3 +99,14 @@ def test_polygon_join_shared_edge_counts(spark):
         polygons_df(spark, A, "pa"), polygons_df(spark, B, "pb"),
         grid=Grid(8)).collect()]
     assert got == [(0, 1)]
+
+
+def test_polygon_join_domain_sized_polygon(spark):
+    """A polygon covering the whole domain straddles every grid cell;
+    the clipped reference-point dedup must still emit each pair once."""
+    A = [(0, [(0, 0), (999_999, 0), (999_999, 999_999), (0, 999_999)])]
+    B = gen_convex_polygons(25, seed=63)
+    got = sorted(tuple(r) for r in polygon_join(
+        polygons_df(spark, A, "pa"), polygons_df(spark, B, "pb"),
+        grid=Grid(32)).collect())
+    assert got == [(0, b) for b, _ in B]
