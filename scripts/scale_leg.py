@@ -62,6 +62,19 @@ def main() -> None:
 
     out["cells_per_query"] = round(
         knn_candidates(idx, q.limit(4096), 10).count() / 4096, 2)
+
+    # radius distance join (queries/joins.py): the 1M-query set against
+    # all n rows, r sized for ~3 partners/query at this density — the
+    # pure-JVM join path at the largest sandbox n
+    from kdtree_spark.queries.joins import distance_join
+    r = max(1, int((3 * 1e12 / (3.14159 * n)) ** 0.5))
+    t0 = time.time()
+    npairs = distance_join(q, p, r, left_id="qid",
+                           right_id="pid").count()
+    out["join_r"] = r
+    out["join_sec"] = round(time.time() - t0, 2)
+    out["join_pairs"] = int(npairs)
+    out["join_q_per_sec"] = round(nq / out["join_sec"], 0)
     print(json.dumps(out))
 
 
