@@ -1092,7 +1092,10 @@ def q_distance_join(spark, sf_dir) -> DataFrame:
     q = points.load_query_points(spark, sf_dir, "uniform") \
         .select(F.col("qid"), "x", "y")
     pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
-    return distance_join(q, pts, DIST_JOIN_R, grid=Grid(GRID_G),
+    # grid=None -> r-sized cells (the candidate-blocking unit); the
+    # result set is grid-independent, only the false-candidate volume
+    # through the filter changes
+    return distance_join(q, pts, DIST_JOIN_R,
                          left_id="qid", right_id="pid")
 
 
@@ -1109,7 +1112,10 @@ def q_rect_join(spark, sf_dir) -> DataFrame:
     pts = points.load_points(spark, sf_dir, "uniform")
     rt = pts.selectExpr("pid", "x AS x0", "y AS y0",
                         "x + pid % 2000 AS x1", "y + pid % 1900 AS y1")
-    return rect_join(lt, rt, grid=Grid(GRID_G),
+    # Grid(64): cw ~ 15.6k vs ~25k left extents -> a few cells per left
+    # rect, 64x fewer same-cell false candidates than the 64-cell
+    # driver grid; result set is grid-independent
+    return rect_join(lt, rt, grid=Grid(64),
                      left_id="qid", right_id="pid")
 
 
