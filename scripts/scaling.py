@@ -124,17 +124,22 @@ def run_one(cpus: int) -> dict:
         out["range_q_per_sec"] = round(len(boxes) / out["range_sec"], 2)
 
     if "join" in OPS:
-        # radius distance join (queries/joins.py): the one op whose
+        # radius distance SELF-join (queries/joins.py): the one op whose
         # whole plan is a single JVM equi-join — its scaling isolates
         # Spark's shuffle/codegen path with no Python boundary at all.
-        # r=200 at this density -> ~5 partners per left row.
+        # The full n x n self-join at r=200 (~6 partners/row incl.
+        # self) emits ~230M pairs: heavy enough to stay compute-bound
+        # at both levels (the 2%-query variant finished in ~31 s at
+        # TWO cores after the r-sized-grid fix and measured scheduling
+        # floors, not the engine).
         from kdtree_spark.queries.joins import distance_join
+        lhs = rep.selectExpr("pid AS qid", "x", "y")
         t0 = time.time()
-        npairs = distance_join(q, rep, 200,
+        npairs = distance_join(lhs, rep, 200,
                                left_id="qid", right_id="pid").count()
         out["join_sec"] = round(time.time() - t0, 2)
         out["join_pairs"] = int(npairs)
-        out["join_q_per_sec"] = round(nq / out["join_sec"], 1)
+        out["join_rows_per_sec"] = round(n / out["join_sec"], 1)
     return out
 
 
