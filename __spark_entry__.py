@@ -95,12 +95,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #                           dims-keyed grid path is driver-gated at
 #                           d=5; retired to make room for
 #                           polygon_overlay
+#   regex_token_stats    -> not a retirement but a budget exclusion:
+#                           the sweep is at its 50-row cap; this
+#                           narrow-map op stays verified by
+#                           scripts/gate_check.py (hash vs DuckDB
+#                           regexp_extract_all) + pytest
 _RETIRED = frozenset({
     "cell_assign", "knn_k1", "range_count", "range_report",
     "insert_then_count", "delete_then_count", "update_then_knn_d3",
     "knn_k10_f64", "range_count_f64", "circle_count_f64",
     "minhash_bands", "sliding_window_count", "circle_count", "simhash",
     "incremental_build", "update_then_knn", "knn_k10_d16",
+    "regex_token_stats",
 })
 
 # Never-driver-verified gates run first so even a truncated sweep

@@ -50,6 +50,22 @@ SELECT doc_id, ntok, ndistinct, nstop,
 FROM a"""
 
 
+def q_regex_token_stats(spark, sf_dir):
+    return textops.regex_token_stats(_docs(spark, sf_dir))
+
+
+SQL_REGEX_TOKEN_STATS = f"""
+WITH r AS (SELECT doc_id,
+                  regexp_extract_all(text, '{textops.BPE_RE}') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS ntok_re,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS ndistinct_re,
+       CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+            AS BIGINT) AS nchars_re
+FROM r"""
+
+
 def q_token_topk(spark, sf_dir):
     return textops.token_topk(_docs(spark, sf_dir), 20)
 
@@ -356,6 +372,7 @@ WHERE f.table_key = ({_TABLE_KEY_SQL})"""
 
 QUERIES = {
     "text_stats": q_text_stats,
+    "regex_token_stats": q_regex_token_stats,
     "token_topk": q_token_topk,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -374,6 +391,7 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": SQL_TEXT_STATS,
+    "regex_token_stats": SQL_REGEX_TOKEN_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "lang_id": _sql_lang_id(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -95,6 +95,28 @@ def lang_id(docs: DataFrame) -> DataFrame:
                     F.coalesce("score", F.lit(0)).cast("long").alias("score")))
 
 
+# BPE-ish pre-tokenizer split: letter runs / digit runs / single
+# non-alphanumeric marks (the GPT-2 pre-tokenizer's shape without its
+# lookaheads, which RE2 — DuckDB's engine — does not support; this
+# pattern parses identically under Java regex and RE2, the
+# cross-engine contract for the oracle)
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc BPE-ish token stats: regex token count, distinct count
+    and summed token chars — a pure narrow map (regexp_extract_all +
+    array aggregates inside codegen), NO shuffle at all; the 100 TB
+    plan is a single scan."""
+    arr = f"regexp_extract_all(text, '{BPE_RE}', 0)"
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({arr}) AS LONG) AS ntok_re",
+        f"CAST(size(array_distinct({arr})) AS LONG) AS ndistinct_re",
+        f"CAST(aggregate({arr}, 0L, (a, t) -> a + length(t)) AS LONG)"
+        " AS nchars_re")
+
+
 def shingle_array_sql(n: int) -> str:
     """SQL expr: array of n-token shingles of `text` (empty if too short).
 

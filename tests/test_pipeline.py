@@ -264,3 +264,21 @@ def test_ivf_centroids_deterministic(spark):
     c2 = ann.ivf_centroids(emb)
     np.testing.assert_array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_regex_token_stats_no_shuffle_and_values(spark, sf_dir):
+    """BPE-ish regex token stats: narrow map only (no Exchange in the
+    plan) and values match a Python re reimplementation."""
+    import re
+    from kdtree_spark.pipeline.textops import BPE_RE, regex_token_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = regex_token_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["doc_id"]: (r["ntok_re"], r["ndistinct_re"], r["nchars_re"])
+           for r in out.collect()}
+    pat = re.compile(BPE_RE)
+    for r in docs.select("doc_id", "text").collect():
+        toks = pat.findall(r["text"])
+        assert got[r["doc_id"]] == (len(toks), len(set(toks)),
+                                    sum(len(t) for t in toks))
