@@ -31,6 +31,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def dedup_canonical(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id",
+                    a_col: str = "da", b_col: str = "db") -> DataFrame:
+    """The dedup pipeline endpoint: given the corpus and its near-dup
+    pair list, keep exactly ONE document per connected component (the
+    min id — every dropped doc has a surviving near-duplicate) and
+    return the surviving subset of `docs` with all its columns.
+
+    Plan: connected_components over the pairs, then a semi-join of the
+    corpus against the canonical ids — one extra shuffle on the id key
+    beyond the clustering itself."""
+    cc = connected_components(pairs, docs.select(id_col),
+                              a_col=a_col, b_col=b_col, id_col=id_col)
+    keep = (cc.filter(F.col("id") == F.col("comp"))
+            .select(F.col("id").alias(id_col)))
+    return docs.join(keep, id_col, "left_semi")
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                          a_col: str = "da", b_col: str = "db",
                          id_col: str = "id",

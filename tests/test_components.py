@@ -69,3 +69,19 @@ def test_components_two_clusters_plus_isolated(spark):
     exp = _uf_components(ids, edges)
     assert got == exp
     assert got[3] == 1 and got[12] == 10 and got[14] == 14
+
+
+def test_dedup_canonical(spark):
+    """Endpoint: one survivor per component, the min id, full rows."""
+    import pandas as pd
+    from kdtree_spark.pipeline.components import dedup_canonical
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(10)),
+         "text": [f"t{i}" for i in range(10)]}))
+    pairs = _mk_edges(spark, [(0, 1), (1, 2), (5, 6), (8, 3), (3, 0)])
+    out = dedup_canonical(docs, pairs).toPandas()
+    # components: {0,1,2,3,8}, {5,6}; singletons 4,7,9
+    assert sorted(out.doc_id) == [0, 4, 5, 7, 9]
+    assert set(out.columns) == {"doc_id", "text"}
+    assert out.set_index("doc_id").text.to_dict() == {
+        0: "t0", 4: "t4", 5: "t5", 7: "t7", 9: "t9"}
