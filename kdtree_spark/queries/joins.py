@@ -38,14 +38,23 @@ from pyspark.sql import DataFrame, functions as F
 from ..grid import COORD_LIMIT, Grid
 
 
-def _expand_cells_sql(grid: Grid, cols, r: int) -> list:
+def _expand_cells_sql(grid: Grid, cols, r, float_coords: bool = False
+                      ) -> list:
     """Per-dimension cell-range bounds [(lo_expr, hi_expr), ...] for the
-    radius-r box around a point, clipped to the grid."""
+    radius-r box around a point, clipped to the grid. Float mode uses
+    the same FLOOR-division arithmetic as Grid.spark_cell_sql_f64_nd,
+    so expansion and home cells agree bit-for-bit."""
     cw, g = grid.cw, grid.g
     out = []
     for c in cols[:grid.dims]:
-        lo = f"GREATEST(({c} - {r}) DIV {cw}, 0)"
-        hi = f"LEAST(({c} + {r}) DIV {cw}, {g - 1})"
+        if float_coords:
+            lo = (f"GREATEST(CAST(FLOOR(({c} - {r}) / "
+                  f"CAST({cw} AS DOUBLE)) AS BIGINT), 0)")
+            hi = (f"LEAST(CAST(FLOOR(({c} + {r}) / "
+                  f"CAST({cw} AS DOUBLE)) AS BIGINT), {g - 1})")
+        else:
+            lo = f"GREATEST(({c} - {r}) DIV {cw}, 0)"
+            hi = f"LEAST(({c} + {r}) DIV {cw}, {g - 1})"
         out.append((lo, hi))
     return out
 
@@ -55,7 +64,8 @@ def distance_join(left: DataFrame, right: DataFrame, r: int,
                   coord_cols=("x", "y"),
                   left_id: str = "lid",
                   right_id: str = "rid",
-                  keep_left=(), keep_right=()) -> DataFrame:
+                  keep_left=(), keep_right=(),
+                  float_coords: bool = False) -> DataFrame:
     """left: (left_id, coords...), right: (right_id, coords...) ->
     (left_id, right_id, dist_sq [, keep_left..., keep_right...]) for
     every pair with dist^2 <= r^2.
@@ -84,11 +94,13 @@ def distance_join(left: DataFrame, right: DataFrame, r: int,
     lt = left.select(F.col(left_id).alias("_lid"),
                      *[F.col(c).alias(a) for c, a in zip(cc, lcc)],
                      *keep_left)
+    cell_sql = (grid.spark_cell_sql_f64_nd(cc) if float_coords
+                else grid.spark_cell_sql_nd(cc))
     rt = right.select(F.col(right_id).alias("_rid"),
                       *cc, *keep_right,
-                      F.expr(grid.spark_cell_sql_nd(cc)).alias("_cell"))
+                      F.expr(cell_sql).alias("_cell"))
     # left expansion: one explode per grid dim, then compose the cell id
-    bounds = _expand_cells_sql(grid, lcc, r)
+    bounds = _expand_cells_sql(grid, lcc, r, float_coords)
     for j, (lo, hi) in enumerate(bounds):
         lt = lt.withColumn(f"_g{j}",
                            F.explode(F.sequence(F.expr(lo), F.expr(hi))))

@@ -169,3 +169,30 @@ def test_rect_join_edge_touch_and_cell_straddle(spark):
         grid=Grid(16)).collect())
     assert got == _brute_rects(A, B)
     assert (0, 7) in got and (1, 9) in got and (1, 8) not in got
+
+
+def test_distance_join_f64(spark):
+    """Float-coordinate mode: FLOOR-division cells, exact double dist²
+    vs a numpy float64 brute force (both sides IEEE-exact)."""
+    rng = np.random.default_rng(47)
+    L = np.column_stack([np.arange(60),
+                         rng.integers(0, 999_000, (60, 2))]).astype(np.float64)
+    R = np.column_stack([np.arange(500),
+                         rng.integers(0, 999_000, (500, 2))]).astype(np.float64)
+    L[:, 1:] += rng.integers(0, 997, (60, 2)) / 997.0
+    R[:, 1:] += rng.integers(0, 991, (500, 2)) / 991.0
+    r = 50_000
+    lt = spark.createDataFrame(
+        pd.DataFrame({"lid": L[:, 0].astype(np.int64),
+                      "x": L[:, 1], "y": L[:, 2]}))
+    rt = spark.createDataFrame(
+        pd.DataFrame({"rid": R[:, 0].astype(np.int64),
+                      "x": R[:, 1], "y": R[:, 2]}))
+    got = sorted(tuple(r_) for r_ in distance_join(
+        lt, rt, r, grid=Grid(16), float_coords=True).collect())
+    d2 = ((L[:, None, 1:] - R[None, :, 1:]) ** 2).sum(axis=2)
+    li, ri = np.nonzero(d2 <= float(r) * float(r))
+    exp = sorted(zip(L[li, 0].astype(np.int64).tolist(),
+                     R[ri, 0].astype(np.int64).tolist(),
+                     d2[li, ri].tolist()))
+    assert got == exp
