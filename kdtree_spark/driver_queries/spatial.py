@@ -1078,6 +1078,56 @@ def sql_polygon_overlay() -> str:
         fixtures.polygon_verts_values_sql(POLY_B, "vvb"))
 
 
+DBSCAN_FILTER = "pid % 23 = 5"   # ~4% subset: keeps the oracle's
+# cross-join quadratic term at DuckDB-friendly size
+DBSCAN_EPS = 9_000
+DBSCAN_MIN_PTS = 6
+
+
+def q_dbscan(spark, sf_dir) -> DataFrame:
+    """Distributed DBSCAN (queries/dbscan.py) over a deterministic
+    varden subset — the density distribution with real clusters.
+    Deterministic min-label semantics make the full (pid, cluster,
+    kind) labeling oracle-able via a DuckDB recursive CTE."""
+    from ..queries.dbscan import dbscan
+    pts = points.load_points(spark, sf_dir, "varden") \
+        .filter(DBSCAN_FILTER).select("pid", "x", "y")
+    return dbscan(pts, DBSCAN_EPS, DBSCAN_MIN_PTS)
+
+
+def sql_dbscan() -> str:
+    e2 = DBSCAN_EPS * DBSCAN_EPS
+    return f"""
+WITH RECURSIVE
+p AS (SELECT pid, x, y FROM ({_pts_sql('varden')}) WHERE {DBSCAN_FILTER}),
+e AS (SELECT a.pid AS pa, b.pid AS pb FROM p a JOIN p b
+      ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e2}),
+cnt AS (SELECT pa, count(*) AS n FROM e GROUP BY pa),
+core AS (SELECT pa AS pid FROM cnt WHERE n >= {DBSCAN_MIN_PTS}),
+ce AS (SELECT e.pa AS u, e.pb AS v FROM e
+       JOIN core ca ON ca.pid = e.pa
+       JOIN core cb ON cb.pid = e.pb
+       WHERE e.pa <> e.pb),
+r(id, lbl) AS (SELECT pid, pid FROM core
+               UNION
+               SELECT ce.v, r.lbl FROM r JOIN ce ON r.id = ce.u),
+cl AS (SELECT id AS pid, MIN(lbl) AS cluster FROM r GROUP BY id),
+border AS (SELECT e.pb AS pid, MIN(cl.cluster) AS cluster
+           FROM e
+           JOIN core c ON c.pid = e.pa
+           JOIN cl ON cl.pid = e.pa
+           WHERE e.pb NOT IN (SELECT pid FROM core)
+           GROUP BY e.pb)
+SELECT p.pid,
+       COALESCE(cl.cluster, border.cluster) AS cluster,
+       CASE WHEN cl.pid IS NOT NULL THEN 'core'
+            WHEN border.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS kind
+FROM p
+LEFT JOIN cl ON cl.pid = p.pid
+LEFT JOIN border ON border.pid = p.pid"""
+
+
 # ----------------------------------------------------- radius distance join
 
 DIST_JOIN_R = 7_000  # ~9 partners/query at sf0.01 density
@@ -1281,6 +1331,7 @@ QUERIES = {
     "distance_join": q_distance_join,
     "rect_join": q_rect_join,
     "polygon_overlay": q_polygon_overlay,
+    "dbscan": q_dbscan,
 }
 
 ORACLES = {
@@ -1328,4 +1379,5 @@ ORACLES = {
     "distance_join": sql_distance_join(),
     "rect_join": sql_rect_join(),
     "polygon_overlay": sql_polygon_overlay(),
+    "dbscan": sql_dbscan(),
 }
