@@ -223,7 +223,7 @@ def main() -> None:
     # stays comparable round-over-round
     if args.queries is None:
         for name in ("distance_join", "rect_join", "dedup_components",
-                     "image_spatial_phash"):
+                     "image_spatial_phash", "polygon_overlay", "dbscan"):
             fn = queries.get(name)
             if fn is None:
                 continue

@@ -1,6 +1,6 @@
 """Distributed DBSCAN, composed entirely from this engine's verified
 primitives — the classic density clustering that is notoriously awkward
-to scale, expressed as three bounded Spark stages:
+to scale, expressed as four bounded Spark stages:
 
   1. eps-neighborhood self-join  -> queries/joins.py distance_join
      (cell-blocked equi-join, r-sized grid, zero Python)

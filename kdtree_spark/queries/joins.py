@@ -104,7 +104,7 @@ def distance_join(left: DataFrame, right: DataFrame, r: int,
     for j, (lo, hi) in enumerate(bounds):
         lt = lt.withColumn(f"_g{j}",
                            F.explode(F.sequence(F.expr(lo), F.expr(hi))))
-    cell = f"_g0"
+    cell = "_g0"
     for j in range(1, grid.dims):
         cell = f"(({cell}) * {grid.g} + _g{j})"
     lt = lt.withColumn("_cell", F.expr(cell)).drop(
