@@ -1182,6 +1182,34 @@ FROM lt JOIN rt
   ON lx0 <= rx1 AND rx0 <= lx1 AND ly0 <= ry1 AND ry0 <= ly1"""
 
 
+KDE_R = 25_000
+
+
+def q_kernel_density(spark, sf_dir) -> DataFrame:
+    """Epanechnikov KDE (queries/joins.py kernel_density): pure-int64
+    finite-support density estimate, query sample vs full point set."""
+    from ..queries.joins import kernel_density
+    q = points.load_query_points(spark, sf_dir, "uniform") \
+        .select("qid", "x", "y")
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    return kernel_density(q, pts, KDE_R)
+
+
+def sql_kernel_density() -> str:
+    r2 = KDE_R * KDE_R
+    return f"""
+WITH q AS (SELECT qid, x AS qx, y AS qy FROM ({_q_sql()})),
+p AS ({_pts_sql()})
+SELECT q.qid,
+       CAST(COALESCE(SUM({r2}::BIGINT
+            - ((p.x - q.qx) * (p.x - q.qx)
+               + (p.y - q.qy) * (p.y - q.qy))), 0) AS BIGINT) AS kde
+FROM q LEFT JOIN p
+  ON (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+     <= {r2}::BIGINT
+GROUP BY q.qid"""
+
+
 def sql_distance_join() -> str:
     r = DIST_JOIN_R
     return f"""
@@ -1332,6 +1360,7 @@ QUERIES = {
     "rect_join": q_rect_join,
     "polygon_overlay": q_polygon_overlay,
     "dbscan": q_dbscan,
+    "kernel_density": q_kernel_density,
 }
 
 ORACLES = {
@@ -1380,4 +1409,5 @@ ORACLES = {
     "rect_join": sql_rect_join(),
     "polygon_overlay": sql_polygon_overlay(),
     "dbscan": sql_dbscan(),
+    "kernel_density": sql_kernel_density(),
 }

@@ -180,6 +180,28 @@ def rect_join(left: DataFrame, right: DataFrame,
             .select(left_id, right_id))
 
 
+def kernel_density(queries: DataFrame, data: DataFrame, r: int,
+                   grid: Grid | None = None,
+                   coord_cols=("x", "y"),
+                   query_id: str = "qid",
+                   data_id: str = "pid") -> DataFrame:
+    """Epanechnikov kernel density per query point: kde = sum over data
+    points within r of (r² − dist²) — the classic density estimate with
+    a finite-support kernel, in PURE int64 arithmetic (no exp/floating
+    point, so Spark and an SQL oracle agree bit-for-bit; the standard
+    3/(4r³) normalization is a constant the caller can apply).
+    Zero-neighbor queries report kde=0. Plan: distance_join + one
+    groupBy sum — same 100 TB shape as distance_join_count."""
+    qids = queries.select(F.col(query_id).alias(query_id)).distinct()
+    pairs = distance_join(queries, data, r, grid, coord_cols,
+                          query_id, data_id)
+    r2 = F.lit(int(r) * int(r))
+    kde = (pairs.groupBy(query_id)
+           .agg(F.sum(r2 - F.col("dist_sq")).alias("kde")))
+    return (qids.join(kde, query_id, "left")
+            .select(query_id, F.coalesce("kde", F.lit(0)).alias("kde")))
+
+
 def distance_join_count(left: DataFrame, right: DataFrame, r: int,
                         grid: Grid | None = None,
                         coord_cols=("x", "y"),

@@ -196,3 +196,24 @@ def test_distance_join_f64(spark):
                      R[ri, 0].astype(np.int64).tolist(),
                      d2[li, ri].tolist()))
     assert got == exp
+
+
+def test_kernel_density(spark):
+    """Epanechnikov KDE vs numpy: exact int64 sum of (r² − d²)."""
+    from kdtree_spark.queries.joins import kernel_density
+    rng = np.random.default_rng(67)
+    Q = np.column_stack([np.arange(40),
+                         rng.integers(0, 1_000_000, (40, 2))])
+    D = np.column_stack([np.arange(600),
+                         rng.integers(0, 1_000_000, (600, 2))])
+    r = 80_000
+    got = dict(kernel_density(
+        _mk(spark, Q, "qid", ("x", "y")),
+        _mk(spark, D, "pid", ("x", "y")), r, grid=Grid(16)).collect())
+    d2 = ((Q[:, None, 1:] - D[None, :, 1:]).astype(np.int64) ** 2
+          ).sum(axis=2)
+    mask = d2 <= r * r
+    exp = {int(q): int(((r * r - d2[i]) * mask[i]).sum())
+           for i, q in enumerate(Q[:, 0])}
+    assert got == exp
+    assert any(v == 0 for v in exp.values()) or all(exp.values())
