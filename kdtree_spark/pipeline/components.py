@@ -4,26 +4,17 @@ dedup groups with a canonical representative per group (min id), which
 is what a training-data pipeline actually consumes: keep one doc per
 component, drop the rest.
 
-Algorithm: distributed min-label propagation with pointer jumping
-(the DataFrame rendering of Shiloach-Vishkin / the two-phase star
-contraction of Kiveris et al., "Connected Components in MapReduce and
-Beyond", SOCC'14 — public literature). Each round does
-
-  hop:  l(u) <- min(l(u), min_{v in N(u)} l(v))     (join + groupBy)
-  jump: l(u) <- l(l(u))                              (self-join on label)
-
-so labels chase the component minimum through neighbors AND through
-label chains; a path graph converges in O(log n) rounds instead of the
-O(n) of plain propagation. Every round materializes via an eager
-localCheckpoint: lineage stays flat (no exponential plan growth — the
-same truncation discipline as SpatialIndex.update) and the convergence
-check (changed-label count) rides the same job.
-
-Scale shape: per round one shuffle for the neighbor-min aggregation and
-one for the label self-join, both keyed on node/label ids — uniform
-keys, AQE-splittable. Dedup graphs are unions of small dense clusters,
-so real corpora converge in 2-4 rounds with the jump step rarely
-needed; it exists for the adversarial chain case.
+Algorithm: alternating large-star / small-star edge contraction (the
+DataFrame rendering of Kiveris et al., "Connected Components in
+MapReduce and Beyond", SOCC'14 — public literature); details in the
+connected_components docstring. The edge list itself contracts toward
+disjoint stars, so dense components collapse in a few rounds and
+per-round cost shrinks as the graph does — O(log n) rounds, each one
+groupBy-min + one join per phase on uniform node keys,
+AQE-splittable. Every phase materializes through an eager
+localCheckpoint and unpersists the previous round (flat lineage AND
+flat executor storage — the same truncation discipline as
+SpatialIndex.update).
 """
 
 from __future__ import annotations
@@ -52,35 +43,71 @@ def dedup_canonical(docs: DataFrame, pairs: DataFrame,
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                          a_col: str = "da", b_col: str = "db",
                          id_col: str = "id",
-                         max_rounds: int = 64) -> DataFrame:
+                         max_rounds: int = 50) -> DataFrame:
     """edges: undirected pair list (a_col, b_col); nodes: optional
     (id_col) universe so isolated nodes appear as singletons.
     -> (id, comp): comp = smallest node id in the node's component.
-    """
+
+    Alternating large-star / small-star edge contraction (Kiveris et
+    al., SOCC'14): each round REWRITES the edge list toward a star
+    centered at the component minimum, so dense components collapse in
+    O(log n) rounds and the per-round join cost SHRINKS as the graph
+    contracts (the earlier min-label-propagation rendering advanced a
+    frontier — O(diameter) rounds at constant full-edge-list cost,
+    measured pathological on large dense eps-graphs; see BENCH.md).
+
+    large-star: for each u, every larger neighbor links to
+    m = min(neighborhood(u) + {u}).  small-star: orient edges toward
+    the larger endpoint; every smaller neighbor (and u) links to the
+    minimum smaller neighbor.  Fixpoint = disjoint stars; convergence
+    is detected EXACTLY (count + exceptAll on the canonical edge set,
+    both cheap at converged size), not via a hash fingerprint.
+    Every phase materializes through an eager localCheckpoint and
+    unpersists the previous round (flat lineage AND flat storage)."""
     e = (edges.selectExpr(f"{a_col} AS u", f"{b_col} AS v")
-         .unionByName(edges.selectExpr(f"{b_col} AS u", f"{a_col} AS v"))
          .filter("u != v")
-         .localCheckpoint(eager=False))
-    ids = e.select(F.col("u").alias("id"))
+         .selectExpr("GREATEST(u, v) AS u", "LEAST(u, v) AS v")
+         .distinct().localCheckpoint())
+
+    def large_star(ed):
+        sym = ed.unionByName(ed.selectExpr("v AS u", "u AS v"))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("mn", F.col("u")).alias("m")))
+        return (sym.filter("v > u").join(m, "u")
+                .selectExpr("v AS u", "m AS v").filter("u != v")
+                .distinct())
+
+    def small_star(ed):
+        # ed oriented u > v by invariant below
+        m = ed.groupBy("u").agg(F.min("v").alias("m"))
+        return (ed.join(m, "u")
+                .selectExpr("v AS a", "m AS b")
+                .unionByName(m.selectExpr("u AS a", "m AS b"))
+                .filter("a != b")
+                .selectExpr("GREATEST(a, b) AS u", "LEAST(a, b) AS v")
+                .distinct())
+
+    if e.count() > 0:
+        for _ in range(max_rounds):
+            ls = (large_star(e)
+                  .selectExpr("GREATEST(u, v) AS u", "LEAST(u, v) AS v")
+                  .distinct().localCheckpoint())
+            nxt = small_star(ls).localCheckpoint()
+            ls.unpersist()
+            same = (nxt.count() == e.count()
+                    and nxt.exceptAll(e).isEmpty())
+            e.unpersist()
+            e = nxt
+            if same:
+                break
+    # fixpoint: stars (member, comp_min) with member > comp_min
+    lbl = (e.selectExpr("u AS id", "v AS comp")
+           .groupBy("id").agg(F.min("comp").alias("comp")))
+    centers = e.selectExpr("v AS id").distinct()         .join(lbl.select("id"), "id", "left_anti")         .withColumn("comp", F.col("id"))
+    out = lbl.unionByName(centers)
     if nodes is not None:
-        ids = ids.unionByName(nodes.select(F.col(id_col).alias("id")))
-    labels = (ids.distinct()
-              .withColumn("comp", F.col("id"))
-              .localCheckpoint())
-    for _ in range(max_rounds):
-        nbr = (e.join(labels, e["u"] == labels["id"])
-               .groupBy("v").agg(F.min("comp").alias("nc")))
-        hopped = (labels.join(nbr, labels["id"] == nbr["v"], "left")
-                  .select("id", F.least("comp", "nc").alias("comp"),
-                          labels["comp"].alias("prev"))
-                  .localCheckpoint())
-        parent = hopped.selectExpr("id AS pid", "comp AS pcomp")
-        jumped = (hopped.join(parent, hopped["comp"] == parent["pid"], "left")
-                  .select("id", F.coalesce("pcomp", "comp").alias("comp"),
-                          "prev")
-                  .localCheckpoint())
-        changed = jumped.filter("comp != prev").count()
-        labels = jumped.select("id", "comp").localCheckpoint(eager=False)
-        if changed == 0:
-            break
-    return labels
+        singles = (nodes.select(F.col(id_col).alias("id")).distinct()
+                   .join(out.select("id"), "id", "left_anti")
+                   .withColumn("comp", F.col("id")))
+        out = out.unionByName(singles)
+    return out
