@@ -256,7 +256,7 @@ def q_dedup_components(spark, sf_dir):
     """Near-dup clustering: SimHash pairs (hamming <= 7) -> connected
     components; every doc reports its component's min doc_id (the
     canonical representative a dedup pipeline keeps). Exercises the
-    iterative hop+jump DataFrame algorithm end to end against a
+    iterative star-contraction DataFrame algorithm end to end against a
     DuckDB recursive-CTE fixpoint oracle."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.simhash_pairs(docs, 7).select("da", "db")

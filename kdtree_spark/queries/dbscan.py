@@ -6,8 +6,8 @@ to scale, expressed as four bounded Spark stages:
      (cell-blocked equi-join, r-sized grid, zero Python)
   2. core detection              -> one groupBy count
   3. cluster formation           -> pipeline/components.py
-     connected_components over CORE-CORE edges (hop+jump label
-     propagation, O(log n) rounds)
+     connected_components over CORE-CORE edges (large-star/small-star
+     edge contraction, O(log n) rounds)
   4. border assignment           -> min cluster label over a border
      point's core neighbors (one join + groupBy)
 

@@ -43,8 +43,8 @@ def test_components_random_graph(spark):
 
 
 def test_components_long_path_exercises_jump(spark):
-    """A 400-node path: plain propagation needs 400 rounds; hop+jump
-    must converge inside the 64-round cap."""
+    """A 400-node path: plain label propagation needs 400 rounds; the
+    star contraction must converge inside the round cap."""
     edges = [(i, i + 1) for i in range(399)]
     got = dict(connected_components(_mk_edges(spark, edges)).collect())
     assert got == {i: 0 for i in range(400)}
