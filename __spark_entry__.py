@@ -106,13 +106,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #                           brute force in tests/test_dbscan.py
 #   kernel_density       -> budget exclusion; gate_check hash-green
 #                           (pure-int64 Epanechnikov sum) + numpy pytest
+#   closest_pair         -> budget exclusion; gate_check hash-green
+#                           (argmin-with-tie-break oracle) + numpy pytest
 _RETIRED = frozenset({
     "cell_assign", "knn_k1", "range_count", "range_report",
     "insert_then_count", "delete_then_count", "update_then_knn_d3",
     "knn_k10_f64", "range_count_f64", "circle_count_f64",
     "minhash_bands", "sliding_window_count", "circle_count", "simhash",
     "incremental_build", "update_then_knn", "knn_k10_d16",
-    "regex_token_stats", "dbscan", "kernel_density",
+    "regex_token_stats", "dbscan", "kernel_density", "closest_pair",
 })
 
 # Never-driver-verified gates run first so even a truncated sweep

@@ -1210,6 +1210,29 @@ FROM q LEFT JOIN p
 GROUP BY q.qid"""
 
 
+def q_closest_pair(spark, sf_dir) -> DataFrame:
+    """Bichromatic closest pair (queries/joins.py closest_pair):
+    query sample vs full point set, radius-doubling over the cell
+    join, deterministic (dist, qid, pid) tie-break."""
+    from ..queries.joins import closest_pair
+    q = points.load_query_points(spark, sf_dir, "uniform") \
+        .select("qid", "x", "y")
+    pts = points.load_points(spark, sf_dir, "uniform").select("pid", "x", "y")
+    return closest_pair(q, pts, left_id="qid", right_id="pid")
+
+
+def sql_closest_pair() -> str:
+    return f"""
+WITH q AS (SELECT qid, x AS qx, y AS qy FROM ({_q_sql()})),
+p AS ({_pts_sql()}),
+d AS (SELECT q.qid, p.pid,
+             (p.x - q.qx) * (p.x - q.qx)
+           + (p.y - q.qy) * (p.y - q.qy) AS dist_sq
+      FROM q CROSS JOIN p)
+SELECT qid, pid, dist_sq FROM d
+ORDER BY dist_sq, qid, pid LIMIT 1"""
+
+
 def sql_distance_join() -> str:
     r = DIST_JOIN_R
     return f"""
@@ -1361,6 +1384,7 @@ QUERIES = {
     "polygon_overlay": q_polygon_overlay,
     "dbscan": q_dbscan,
     "kernel_density": q_kernel_density,
+    "closest_pair": q_closest_pair,
 }
 
 ORACLES = {
@@ -1410,4 +1434,5 @@ ORACLES = {
     "polygon_overlay": sql_polygon_overlay(),
     "dbscan": sql_dbscan(),
     "kernel_density": sql_kernel_density(),
+    "closest_pair": sql_closest_pair(),
 }

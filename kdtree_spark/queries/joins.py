@@ -202,6 +202,38 @@ def kernel_density(queries: DataFrame, data: DataFrame, r: int,
             .select(query_id, F.coalesce("kde", F.lit(0)).alias("kde")))
 
 
+def closest_pair(left: DataFrame, right: DataFrame,
+                 coord_cols=("x", "y"),
+                 left_id: str = "lid", right_id: str = "rid",
+                 r0: int = 1_000) -> DataFrame:
+    """Bichromatic closest pair: the single (left_id, right_id,
+    dist_sq) row with the globally minimum distance, tie-broken by
+    (dist_sq, left_id, right_id) so the answer is a pure function of
+    the data.
+
+    Radius doubling over distance_join: run the cell-blocked join at
+    radius r, quadrupling r until a pair appears (O(log domain)
+    rounds, each one equi-join; an empty round costs only the join
+    metadata since nothing matches), then take the lexicographic min
+    of the final candidate set — which provably contains the true
+    closest pair because the last radius bounds it. No index build, no
+    driver-side geometry; works on tables of any size."""
+    assert r0 >= 1
+    r = int(r0)
+    while True:
+        pairs = distance_join(left, right, r, None, coord_cols,
+                              left_id, right_id)
+        row = (pairs.orderBy("dist_sq", left_id, right_id).limit(1)
+               .collect())
+        if row:
+            return pairs.sparkSession.createDataFrame(
+                row, pairs.schema)
+        if r >= COORD_LIMIT * 2:
+            # disjoint-domain degenerate case: no pair at any radius
+            return pairs.limit(0)
+        r *= 4
+
+
 def distance_join_count(left: DataFrame, right: DataFrame, r: int,
                         grid: Grid | None = None,
                         coord_cols=("x", "y"),

@@ -217,3 +217,39 @@ def test_kernel_density(spark):
            for i, q in enumerate(Q[:, 0])}
     assert got == exp
     assert any(v == 0 for v in exp.values()) or all(exp.values())
+
+
+def test_closest_pair(spark):
+    """Radius-doubling closest pair vs numpy argmin with the same
+    (dist, lid, rid) tie-break, incl. a far-apart config that needs
+    several doublings, duplicate-distance ties, and an empty side."""
+    from kdtree_spark.queries.joins import closest_pair
+    rng = np.random.default_rng(71)
+    L = np.column_stack([np.arange(40),
+                         rng.integers(0, 1_000_000, (40, 2))])
+    R = np.column_stack([np.arange(300),
+                         rng.integers(0, 1_000_000, (300, 2))])
+    d2 = ((L[:, None, 1:] - R[None, :, 1:]).astype(np.int64) ** 2
+          ).sum(axis=2)
+    best = min((int(d2[i, j]), int(L[i, 0]), int(R[j, 0]))
+               for i in range(len(L)) for j in range(len(R)))
+    got = closest_pair(_mk(spark, L, "lid", ("x", "y")),
+                       _mk(spark, R, "rid", ("x", "y"))).collect()
+    assert [(r["dist_sq"], r["lid"], r["rid"]) for r in got] == [best]
+    # far corners: first rounds empty, needs doubling
+    L2 = np.array([[0, 0, 0]])
+    R2 = np.array([[9, 999_999, 999_999], [7, 900_000, 900_000]])
+    got2 = closest_pair(_mk(spark, L2, "lid", ("x", "y")),
+                        _mk(spark, R2, "rid", ("x", "y"))).collect()
+    assert (got2[0]["lid"], got2[0]["rid"]) == (0, 7)
+    # tie on distance -> min ids win
+    L3 = np.array([[3, 100, 100], [1, 100, 100]])
+    R3 = np.array([[8, 100, 200], [5, 200, 100]])
+    got3 = closest_pair(_mk(spark, L3, "lid", ("x", "y")),
+                        _mk(spark, R3, "rid", ("x", "y"))).collect()
+    assert (got3[0]["lid"], got3[0]["rid"], got3[0]["dist_sq"]) == (1, 5, 10000)
+    # empty right side -> empty result
+    empty = spark.createDataFrame([], "rid long, x long, y long")
+    got4 = closest_pair(_mk(spark, L3, "lid", ("x", "y")),
+                        empty).collect()
+    assert got4 == []
