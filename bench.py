@@ -223,7 +223,8 @@ def main() -> None:
     # stays comparable round-over-round
     if args.queries is None:
         for name in ("distance_join", "rect_join", "dedup_components",
-                     "image_spatial_phash", "polygon_overlay", "dbscan"):
+                     "image_spatial_phash", "polygon_overlay", "dbscan",
+                     "kernel_density", "closest_pair"):
             fn = queries.get(name)
             if fn is None:
                 continue
